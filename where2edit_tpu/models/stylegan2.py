@@ -1,0 +1,324 @@
+"""StyleGAN2 generator/discriminator with region-attention synthesis, NHWC.
+
+Single model covering both reference variants (which are byte-identical except
+for ``Generator.forward``):
+
+  * canonical generator      — models/stylegan2/model.py:365-574
+  * attention fork           — attention/attention_model.py:473-676
+    (feature taps via ``return_features``; masked blending via
+    ``attention_layer``/``attention_map``/``feature_map``)
+
+Layer schedule at 1024px: conv1, to_rgb1, then 8 octaves of
+(up-conv, conv, to_rgb) → 26 style vectors / 26 feature taps. The 1-based
+``attention_layer`` counter indexes this tap list exactly as the fork
+(attention_model.py:545-560): blending at layer L also rewrites the *next*
+to_rgb skip (the ``this_layer`` coupling, attention_model.py:558-561).
+
+All blend positions are resolved at trace time (static ``attention_layer``),
+so XLA sees straight-line code — no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from where2edit_tpu.nn.layers import (
+    ConstantInput,
+    ConvLayer,
+    EqualLinear,
+    ResBlock,
+    StyledConv,
+    ToRGB,
+    pixel_norm,
+)
+from where2edit_tpu.ops.interpolate import interpolate_nearest
+
+
+def channel_table(channel_multiplier: int = 2) -> dict[int, int]:
+    """models/stylegan2/model.py:392-402."""
+    return {
+        4: 512,
+        8: 512,
+        16: 512,
+        32: 512,
+        64: 256 * channel_multiplier,
+        128: 128 * channel_multiplier,
+        256: 64 * channel_multiplier,
+        512: 32 * channel_multiplier,
+        1024: 16 * channel_multiplier,
+    }
+
+
+class GeneratorOutput(NamedTuple):
+    image: jnp.ndarray                       # (B, size, size, 3)
+    latent: Any = None                       # W+ (B, n_latent, 512) or S-space list
+    style_vector: Optional[list] = None      # 26x (B, C) S-space vectors
+    feature_map: Optional[list] = None       # 26x (B, h, w, C) feature taps
+
+
+def _blend(out: jnp.ndarray, mask: jnp.ndarray, orig: jnp.ndarray) -> jnp.ndarray:
+    """mask·out + (1-mask)·orig with nearest-resized single-channel mask.
+
+    attention/attention_model.py:548-549 — the reference channel-repeat is a
+    broadcast in NHWC.
+    """
+    m = interpolate_nearest(mask, out.shape[1]).astype(out.dtype)
+    return m * out + (1.0 - m) * orig
+
+
+class Generator(fnn.Module):
+    size: int
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    lr_mlp: float = 0.01
+
+    @property
+    def log_size(self) -> int:
+        return int(math.log2(self.size))
+
+    @property
+    def num_layers(self) -> int:
+        return (self.log_size - 2) * 2 + 1
+
+    @property
+    def n_latent(self) -> int:
+        return self.log_size * 2 - 2
+
+    def setup(self):
+        channels = channel_table(self.channel_multiplier)
+        self.channels = channels
+
+        self.style = [
+            EqualLinear(self.style_dim, self.style_dim, lr_mul=self.lr_mlp,
+                        activation="fused_lrelu")
+            for _ in range(self.n_mlp)
+        ]
+
+        self.input = ConstantInput(channels[4])
+        self.conv1 = StyledConv(channels[4], channels[4], 3, self.style_dim,
+                                blur_kernel=self.blur_kernel)
+        self.to_rgb1 = ToRGB(channels[4], self.style_dim, upsample=False)
+
+        convs, to_rgbs = [], []
+        in_ch = channels[4]
+        for i in range(3, self.log_size + 1):
+            out_ch = channels[2 ** i]
+            convs.append(StyledConv(in_ch, out_ch, 3, self.style_dim,
+                                    upsample=True, blur_kernel=self.blur_kernel))
+            convs.append(StyledConv(out_ch, out_ch, 3, self.style_dim,
+                                    blur_kernel=self.blur_kernel))
+            to_rgbs.append(ToRGB(out_ch, self.style_dim))
+            in_ch = out_ch
+        self.convs = convs
+        self.to_rgbs = to_rgbs
+
+        # fixed per-layer noise buffers (model.py:420-423), NHWC
+        self.noises = [
+            self.variable(
+                "noises", f"noise_{i}",
+                lambda shape=None, li=i: jnp.zeros(
+                    (1, 2 ** ((li + 5) // 2), 2 ** ((li + 5) // 2), 1),
+                    jnp.float32,
+                ),
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def style_mlp(self, z: jnp.ndarray) -> jnp.ndarray:
+        """z → w (model.py:381-390): PixelNorm + 8 equalized fused-lrelu FCs."""
+        x = pixel_norm(z)
+        for layer in self.style:
+            x = layer(x)
+        return x
+
+    def mean_latent(self, key: jax.Array, n_latent: int) -> jnp.ndarray:
+        """model.py:462-468."""
+        z = jax.random.normal(key, (n_latent, self.style_dim))
+        return jnp.mean(self.style_mlp(z), axis=0, keepdims=True)
+
+    def get_latent(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.style_mlp(z)
+
+    def __call__(
+        self,
+        styles,
+        *,
+        return_latents: bool = False,
+        return_features: bool = False,
+        inject_index: Optional[int] = None,
+        truncation: float = 1.0,
+        truncation_latent: Optional[jnp.ndarray] = None,
+        input_is_latent: bool = False,
+        input_is_stylespace: bool = False,
+        noise: Optional[list] = None,
+        randomize_noise: bool = True,
+        attention_layer: int = 0,
+        attention_map: Optional[jnp.ndarray] = None,
+        feature_map: Optional[list] = None,
+    ) -> GeneratorOutput:
+        """Forward synthesis.
+
+        ``styles``: list of (B, 512) z/w, or (B, n_latent, 512) W+, or — with
+        ``input_is_stylespace`` — a list of 26 (B, C_i) style vectors.
+        ``attention_map``: (B, h, w, 1) mask; requires ``feature_map`` (the
+        original features from a prior ``return_features`` pass, + optionally
+        the const input appended — only the first 26 entries are read).
+        """
+        if not input_is_latent and not input_is_stylespace:
+            styles = [self.style_mlp(s) for s in styles]
+
+        if noise is None:
+            if randomize_noise:
+                noise = [None] * self.num_layers
+            else:
+                noise = [v.value for v in self.noises]
+
+        if truncation < 1 and not input_is_stylespace:
+            styles = [
+                truncation_latent + truncation * (s - truncation_latent)
+                for s in styles
+            ]
+
+        if input_is_stylespace:
+            latent = list(styles)
+        elif len(styles) < 2:
+            if styles[0].ndim < 3:
+                latent = jnp.repeat(styles[0][:, None, :], self.n_latent, axis=1)
+            else:
+                latent = styles[0]
+        else:
+            if inject_index is None:
+                key = self.make_rng("mixing")
+                inject_index = jax.random.randint(key, (), 1, self.n_latent)
+            row = jnp.arange(self.n_latent)[None, :, None]
+            latent = jnp.where(
+                row < inject_index,
+                styles[0][:, None, :],
+                styles[1][:, None, :],
+            )
+
+        blending = attention_map is not None
+        style_vector: list = []
+        taps: list = []
+
+        def tap(x):
+            """Record a feature / apply the mask-blend at this 1-based layer.
+
+            Blend when layer == attention_layer; additionally a to_rgb layer
+            blends when any conv since the previous to_rgb was the attention
+            layer (the fork's ``this_layer`` flag, attention_model.py:546-561
+            — note the flag survives the mid-octave conv, so attention on a
+            conv_up also rewrites the octave's to_rgb skip).
+            """
+            idx = len(taps)  # 0-based position == layer-1
+            if blending and attention_layer >= 1:
+                layer = idx + 1
+                is_to_rgb = layer == 2 or (layer > 2 and (layer - 2) % 3 == 0)
+                convs_since_prev_rgb = (
+                    (1,) if layer == 2 else (layer - 2, layer - 1)
+                )
+                hit = layer == attention_layer or (
+                    is_to_rgb and attention_layer in convs_since_prev_rgb
+                )
+                if hit:
+                    x = _blend(x, attention_map, feature_map[idx].astype(x.dtype))
+            taps.append(x)
+            return x
+
+        if not input_is_stylespace:
+            batch = latent.shape[0]
+            out = self.input(batch)
+            out, s = self.conv1(out, latent[:, 0], noise=noise[0])
+            out = tap(out)
+            style_vector.append(s)
+            skip, s = self.to_rgb1(out, latent[:, 1])
+            skip = tap(skip)
+            style_vector.append(s)
+            i = 1
+            get = lambda j: latent[:, j]  # noqa: E731
+            step = 2
+        else:
+            batch = latent[0].shape[0]
+            out = self.input(batch)
+            out, s = self.conv1(out, latent[0], noise=noise[0],
+                                input_is_stylespace=True)
+            out = tap(out)
+            style_vector.append(s)
+            skip, s = self.to_rgb1(out, latent[1], input_is_stylespace=True)
+            skip = tap(skip)
+            style_vector.append(s)
+            i = 2
+            get = lambda j: latent[j]  # noqa: E731
+            step = 3
+
+        for oct_idx in range(len(self.to_rgbs)):
+            conv_up = self.convs[2 * oct_idx]
+            conv = self.convs[2 * oct_idx + 1]
+            to_rgb = self.to_rgbs[oct_idx]
+            n1 = noise[1 + 2 * oct_idx]
+            n2 = noise[2 + 2 * oct_idx]
+
+            out, s1 = conv_up(out, get(i), noise=n1,
+                              input_is_stylespace=input_is_stylespace)
+            out = tap(out)
+            out, s2 = conv(out, get(i + 1), noise=n2,
+                           input_is_stylespace=input_is_stylespace)
+            out = tap(out)
+            skip, s3 = to_rgb(out, get(i + 2), skip,
+                              input_is_stylespace=input_is_stylespace)
+            skip = tap(skip)
+            style_vector.extend([s1, s2, s3])
+            i += step
+
+        image = skip
+        return GeneratorOutput(
+            image=image,
+            latent=latent if (return_latents or return_features) else None,
+            style_vector=style_vector if (return_latents or return_features) else None,
+            feature_map=taps if return_features else None,
+        )
+
+
+class Discriminator(fnn.Module):
+    """models/stylegan2/model.py:647-705 (ResBlocks + minibatch stddev)."""
+    size: int
+    channel_multiplier: int = 2
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    stddev_group: int = 4
+    stddev_feat: int = 1
+
+    @fnn.compact
+    def __call__(self, x):
+        channels = channel_table(self.channel_multiplier)
+        log_size = int(math.log2(self.size))
+        out = ConvLayer(3, channels[self.size], 1, name="conv_in")(x)
+        in_ch = channels[self.size]
+        for i in range(log_size, 2, -1):
+            out_ch = channels[2 ** (i - 1)]
+            out = ResBlock(in_ch, out_ch, self.blur_kernel,
+                           name=f"block_{log_size - i}")(out)
+            in_ch = out_ch
+
+        b, h, w, c = out.shape
+        group = min(b, self.stddev_group)
+        stddev = out.reshape(group, -1, h, w, self.stddev_feat,
+                             c // self.stddev_feat)
+        stddev = jnp.sqrt(jnp.var(stddev, axis=0) + 1e-8)
+        stddev = jnp.mean(stddev, axis=(1, 2, 4), keepdims=True)[..., 0]
+        stddev = jnp.tile(stddev.reshape(-1, 1, 1, 1), (group, h, w, 1))
+        out = jnp.concatenate([out, stddev], axis=-1)
+
+        out = ConvLayer(in_ch + 1, channels[4], 3, name="final_conv")(out)
+        # torch flattens NCHW (C,H,W) — transpose before reshape for parity.
+        out = out.transpose(0, 3, 1, 2).reshape(b, -1)
+        out = EqualLinear(channels[4] * 4 * 4, channels[4],
+                          activation="fused_lrelu", name="final_linear1")(out)
+        out = EqualLinear(channels[4], 1, name="final_linear2")(out)
+        return out

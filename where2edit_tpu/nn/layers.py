@@ -1,0 +1,371 @@
+"""StyleGAN2 building blocks, TPU-native.
+
+Numerics match models/stylegan2/model.py (file:line cites on each class), but
+the implementation is JAX/NHWC-idiomatic:
+
+* ``ModulatedConv2d`` (model.py:179-276) drops the torch ``groups=batch``
+  per-sample-weight trick — the wrong idiom for the MXU — in favor of the
+  mathematically identical *modulate-activations / demodulate-outputs*
+  formulation: ``conv(x, w·s) == demod ⊙ conv(x·s, w)`` because the style
+  scale is per-input-channel and demod per-output-channel. One shared-weight
+  conv over the whole batch keeps the MXU busy with large batched contractions.
+* Weight layouts: conv kernels HWIO, linear weights (in, out). The torch
+  converters in ``where2edit_tpu.convert`` transpose at load time.
+* Runtime equalized-LR scaling (·1/sqrt(fan_in)) is kept at runtime exactly as
+  the reference so converted checkpoints drop in unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+from jax import lax
+
+from where2edit_tpu.ops.fused_act import fused_leaky_relu
+from where2edit_tpu.ops.upfirdn2d import make_kernel, upfirdn2d
+
+
+def pixel_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """x * rsqrt(mean(x^2, axis) + 1e-8)  (model.py:11-17)."""
+    return x * lax.rsqrt(jnp.mean(jnp.square(x), axis=axis, keepdims=True) + 1e-8)
+
+
+class PixelNorm(fnn.Module):
+    """Parameter-free; ``axis`` defaults to the feature (last) axis."""
+    axis: int = -1
+
+    def __call__(self, x):
+        return pixel_norm(x, self.axis)
+
+
+class EqualLinear(fnn.Module):
+    """Equalized-LR linear (model.py:130-164).
+
+    weight stored (in_dim, out_dim), scaled at runtime by
+    (1/sqrt(in_dim))·lr_mul; bias by lr_mul. ``activation='fused_lrelu'``
+    applies bias inside the fused leaky-relu (+sqrt 2 gain).
+    """
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+    bias_init: float = 0.0
+    lr_mul: float = 1.0
+    activation: str | None = None
+    dtype: jnp.dtype | None = None
+
+    @fnn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight",
+            lambda key, shape: jax.random.normal(key, shape) / self.lr_mul,
+            (self.in_dim, self.out_dim),
+        )
+        b = (
+            self.param("bias", fnn.initializers.constant(self.bias_init), (self.out_dim,))
+            if self.use_bias
+            else None
+        )
+        scale = (1.0 / math.sqrt(self.in_dim)) * self.lr_mul
+        dtype = self.dtype or x.dtype
+        out = jnp.dot(x.astype(dtype), (w * scale).astype(dtype),
+                      preferred_element_type=dtype)
+        if self.activation == "fused_lrelu":
+            return fused_leaky_relu(out, None if b is None else b * self.lr_mul)
+        if b is not None:
+            out = out + (b * self.lr_mul).astype(out.dtype)
+        return out
+
+
+class ScaledLeakyReLU(fnn.Module):
+    """leaky_relu(x)·sqrt(2) (model.py:167-176)."""
+    negative_slope: float = 0.2
+
+    def __call__(self, x):
+        return jnp.where(x >= 0, x, x * self.negative_slope) * math.sqrt(2.0)
+
+
+class EqualConv2d(fnn.Module):
+    """Equalized-LR conv, NHWC/HWIO (model.py:92-127)."""
+    in_channel: int
+    out_channel: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @fnn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        w = self.param(
+            "weight", fnn.initializers.normal(1.0),
+            (k, k, self.in_channel, self.out_channel),
+        )
+        scale = 1.0 / math.sqrt(self.in_channel * k * k)
+        out = lax.conv_general_dilated(
+            x, (w * scale).astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", fnn.initializers.zeros, (self.out_channel,))
+            out = out + b.astype(out.dtype)
+        return out
+
+
+class Blur(fnn.Module):
+    """upfirdn2d FIR blur (model.py:73-89)."""
+    kernel: Sequence[int] = (1, 3, 3, 1)
+    pad: tuple[int, int] = (0, 0)
+    upsample_factor: int = 1
+
+    @fnn.compact
+    def __call__(self, x):
+        k = make_kernel(self.kernel)
+        if self.upsample_factor > 1:
+            k = k * (self.upsample_factor ** 2)
+        return upfirdn2d(x, k, pad=tuple(self.pad))
+
+
+class Upsample(fnn.Module):
+    """FIR upsample x2 (model.py:31-49)."""
+    kernel: Sequence[int] = (1, 3, 3, 1)
+    factor: int = 2
+
+    @fnn.compact
+    def __call__(self, x):
+        k = make_kernel(self.kernel) * (self.factor ** 2)
+        p = k.shape[0] - self.factor
+        pad = ((p + 1) // 2 + self.factor - 1, p // 2)
+        return upfirdn2d(x, k, up=self.factor, down=1, pad=pad)
+
+
+class Downsample(fnn.Module):
+    """FIR downsample x2 (model.py:52-70)."""
+    kernel: Sequence[int] = (1, 3, 3, 1)
+    factor: int = 2
+
+    @fnn.compact
+    def __call__(self, x):
+        k = make_kernel(self.kernel)
+        p = k.shape[0] - self.factor
+        pad = ((p + 1) // 2, p // 2)
+        return upfirdn2d(x, k, up=1, down=self.factor, pad=pad)
+
+
+def _conv_transpose2x(x: jnp.ndarray, w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """torch conv_transpose2d(stride=2, padding=0) as a dilated conv.
+
+    out = crosscorr(zero-dilate(x, 2), spatial-flip(w)), full padding.
+    """
+    k = w_hwio.shape[0]
+    w = jnp.flip(w_hwio, (0, 1))
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((k - 1, k - 1), (k - 1, k - 1)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class ModulatedConv2d(fnn.Module):
+    """Style-modulated, (optionally) demodulated conv (model.py:179-276).
+
+    Returns ``(out, style)`` where style is the (B, in_channel) modulation
+    vector — the framework's S-space representation (the reference carries the
+    same data as (B,1,C,1,1); see editing.stylespace for adapters).
+    """
+    in_channel: int
+    out_channel: int
+    kernel_size: int
+    style_dim: int
+    demodulate: bool = True
+    upsample: bool = False
+    downsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @fnn.compact
+    def __call__(self, x, style, input_is_stylespace: bool = False):
+        k = self.kernel_size
+        w = self.param(
+            "weight", fnn.initializers.normal(1.0),
+            (k, k, self.in_channel, self.out_channel),
+        )
+        scale = 1.0 / math.sqrt(self.in_channel * k * k)
+
+        if not input_is_stylespace:
+            s = EqualLinear(self.style_dim, self.in_channel, bias_init=1.0,
+                            name="modulation")(style)
+        else:
+            s = style.reshape(style.shape[0], self.in_channel)
+
+        if self.demodulate:
+            # demod[b,o] = rsqrt(sum_{hwi} (scale·w·s[b,i])^2 + 1e-8); fp32.
+            w2 = jnp.square(scale * w.astype(jnp.float32))
+            sigma = jnp.einsum(
+                "hwio,bi->bo", w2, jnp.square(s.astype(jnp.float32)),
+                preferred_element_type=jnp.float32,
+            )
+            demod = lax.rsqrt(sigma + 1e-8)
+
+        x = x * (scale * s[:, None, None, :]).astype(x.dtype)
+
+        if self.upsample:
+            out = _conv_transpose2x(x, w)
+            if self.demodulate:
+                out = out * demod[:, None, None, :].astype(out.dtype)
+            factor = 2
+            p = (len(self.blur_kernel) - factor) - (k - 1)
+            pad = ((p + 1) // 2 + factor - 1, p // 2 + 1)
+            out = Blur(self.blur_kernel, pad=pad, upsample_factor=factor)(out)
+        elif self.downsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) + (k - 1)
+            pad = ((p + 1) // 2, p // 2)
+            x = Blur(self.blur_kernel, pad=pad)(x)
+            out = lax.conv_general_dilated(
+                x, w.astype(x.dtype), window_strides=(2, 2), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.demodulate:
+                out = out * demod[:, None, None, :].astype(out.dtype)
+        else:
+            out = lax.conv_general_dilated(
+                x, w.astype(x.dtype), window_strides=(1, 1),
+                padding=((k // 2, k // 2), (k // 2, k // 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.demodulate:
+                out = out * demod[:, None, None, :].astype(out.dtype)
+
+        return out, s
+
+
+class NoiseInjection(fnn.Module):
+    """x + weight·noise (model.py:279-290). noise: (B,H,W,1) or None.
+
+    When noise is None, draws from the 'noise' RNG stream.
+    """
+
+    @fnn.compact
+    def __call__(self, x, noise=None):
+        w = self.param("weight", fnn.initializers.zeros, (1,))
+        if noise is None:
+            key = self.make_rng("noise")
+            noise = jax.random.normal(key, (x.shape[0], x.shape[1], x.shape[2], 1),
+                                      dtype=x.dtype)
+        return x + w.astype(x.dtype) * noise.astype(x.dtype)
+
+
+class ConstantInput(fnn.Module):
+    """Learned 4x4 constant (model.py:293-303), NHWC."""
+    channel: int
+    size: int = 4
+
+    @fnn.compact
+    def __call__(self, batch: int):
+        const = self.param(
+            "input", fnn.initializers.normal(1.0),
+            (1, self.size, self.size, self.channel),
+        )
+        return jnp.broadcast_to(const, (batch, self.size, self.size, self.channel))
+
+
+class StyledConv(fnn.Module):
+    """ModulatedConv2d + noise + FusedLeakyReLU (model.py:306-340)."""
+    in_channel: int
+    out_channel: int
+    kernel_size: int
+    style_dim: int
+    upsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    demodulate: bool = True
+
+    @fnn.compact
+    def __call__(self, x, style, noise=None, input_is_stylespace: bool = False):
+        out, s = ModulatedConv2d(
+            self.in_channel, self.out_channel, self.kernel_size, self.style_dim,
+            demodulate=self.demodulate, upsample=self.upsample,
+            blur_kernel=self.blur_kernel, name="conv",
+        )(x, style, input_is_stylespace=input_is_stylespace)
+        out = NoiseInjection(name="noise")(out, noise=noise)
+        bias = self.param("activate_bias", fnn.initializers.zeros,
+                          (self.out_channel,))
+        return fused_leaky_relu(out, bias), s
+
+
+class ToRGB(fnn.Module):
+    """1x1 modulated conv to RGB + skip upsample-add (model.py:343-362)."""
+    in_channel: int
+    style_dim: int
+    upsample: bool = True
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @fnn.compact
+    def __call__(self, x, style, skip=None, input_is_stylespace: bool = False):
+        out, s = ModulatedConv2d(
+            self.in_channel, 3, 1, self.style_dim, demodulate=False, name="conv"
+        )(x, style, input_is_stylespace=input_is_stylespace)
+        bias = self.param("bias", fnn.initializers.zeros, (1, 1, 1, 3))
+        out = out + bias.astype(out.dtype)
+        if skip is not None:
+            skip = Upsample(self.blur_kernel, name="upsample")(skip)
+            out = out + skip
+        return out, s
+
+
+class ConvLayer(fnn.Module):
+    """(Blur+)EqualConv2d(+FusedLReLU) stack for the discriminator/encoders
+    (model.py:577-623)."""
+    in_channel: int
+    out_channel: int
+    kernel_size: int
+    downsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    use_bias: bool = True
+    activate: bool = True
+
+    @fnn.compact
+    def __call__(self, x):
+        if self.downsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
+            pad = ((p + 1) // 2, p // 2)
+            x = Blur(self.blur_kernel, pad=pad)(x)
+            stride, padding = 2, 0
+        else:
+            stride, padding = 1, self.kernel_size // 2
+        x = EqualConv2d(
+            self.in_channel, self.out_channel, self.kernel_size,
+            stride=stride, padding=padding,
+            use_bias=self.use_bias and not self.activate, name="conv",
+        )(x)
+        if self.activate:
+            if self.use_bias:
+                bias = self.param("activate_bias", fnn.initializers.zeros,
+                                  (self.out_channel,))
+                x = fused_leaky_relu(x, bias)
+            else:
+                x = jnp.where(x >= 0, x, x * 0.2) * math.sqrt(2.0)
+        return x
+
+
+class ResBlock(fnn.Module):
+    """Discriminator residual block (model.py:626-644)."""
+    in_channel: int
+    out_channel: int
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @fnn.compact
+    def __call__(self, x):
+        out = ConvLayer(self.in_channel, self.in_channel, 3, name="conv1")(x)
+        out = ConvLayer(self.in_channel, self.out_channel, 3, downsample=True,
+                        name="conv2")(out)
+        skip = ConvLayer(self.in_channel, self.out_channel, 1, downsample=True,
+                         activate=False, use_bias=False, name="skip")(x)
+        return (out + skip) / math.sqrt(2.0)

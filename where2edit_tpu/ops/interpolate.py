@@ -1,0 +1,139 @@
+"""Resize ops with exact torch ``F.interpolate`` index semantics.
+
+The reference leans on three distinct resampling conventions and the parity
+targets (SSIM >= 0.99 vs torch renders) depend on matching each exactly:
+
+  * ``F.interpolate(x, size)`` (mode='nearest')  — attention-map scaling inside
+    the generator blend (attention/attention_model.py:548) and all mapper
+    feature-tap resizes (attention/run_attention.py:535,551).
+    src index = floor(dst * in / out).
+  * ``F.interpolate(..., mode='bilinear', align_corners=True)`` — FPN merge
+    ``_upsample_add`` (models/encoders/helpers.py:123-140).
+  * ``nn.AdaptiveAvgPool2d`` — face pools (models/psp.py:33,
+    criteria/id_loss.py:14-15): bin i averages [floor(i*in/out),
+    ceil((i+1)*in/out)).
+
+All functions take/return NHWC. Gathers along H/W lower to cheap XLA
+dynamic-slices/one-hot matmuls; these are bandwidth-trivial next to synthesis.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _nearest_indices(out_size: int, in_size: int) -> np.ndarray:
+    scale = in_size / out_size
+    idx = np.floor(np.arange(out_size) * scale).astype(np.int32)
+    return np.minimum(idx, in_size - 1)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def interpolate_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') on NHWC input."""
+    if isinstance(size, int):
+        size = (size, size)
+    oh, ow = size
+    _, h, w, _ = x.shape
+    if (oh, ow) == (h, w):
+        return x
+    iy = _nearest_indices(oh, h)
+    ix = _nearest_indices(ow, w)
+    return x[:, iy][:, :, ix]
+
+
+@partial(jax.jit, static_argnames=("size", "align_corners"))
+def interpolate_bilinear(x: jnp.ndarray, size, align_corners: bool = True) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear') on NHWC input."""
+    if isinstance(size, int):
+        size = (size, size)
+    oh, ow = size
+    _, h, w, _ = x.shape
+    if (oh, ow) == (h, w):
+        return x
+
+    def src_coords(out_size, in_size):
+        i = np.arange(out_size, dtype=np.float64)
+        if align_corners:
+            if out_size == 1:
+                s = np.zeros_like(i)
+            else:
+                s = i * (in_size - 1) / (out_size - 1)
+        else:
+            s = (i + 0.5) * in_size / out_size - 0.5
+        s = np.clip(s, 0.0, in_size - 1)
+        lo = np.floor(s).astype(np.int32)
+        hi = np.minimum(lo + 1, in_size - 1)
+        frac = (s - lo).astype(np.float32)
+        return lo, hi, frac
+
+    ylo, yhi, yf = src_coords(oh, h)
+    xlo, xhi, xf = src_coords(ow, w)
+    yf = jnp.asarray(yf)[None, :, None, None]
+    xf = jnp.asarray(xf)[None, None, :, None]
+
+    top = x[:, ylo]
+    bot = x[:, yhi]
+    row = top * (1 - yf) + bot * yf
+    left = row[:, :, xlo]
+    right = row[:, :, xhi]
+    out = left * (1 - xf) + right * xf
+    return out.astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def adaptive_avg_pool(x: jnp.ndarray, size) -> jnp.ndarray:
+    """torch nn.AdaptiveAvgPool2d on NHWC input."""
+    if isinstance(size, int):
+        size = (size, size)
+    oh, ow = size
+    n, h, w, c = x.shape
+    if (oh, ow) == (h, w):
+        return x
+    if h % oh == 0 and w % ow == 0:
+        # exact-division fast path: plain mean-pool (reduce_window)
+        kh, kw = h // oh, w // ow
+        out = lax.reduce_window(
+            x, 0.0, lax.add, (1, kh, kw, 1), (1, kh, kw, 1), "VALID"
+        )
+        return out / (kh * kw)
+
+    # general adaptive bins via per-axis averaging matrices (tiny matmuls)
+    def pool_matrix(out_size, in_size):
+        m = np.zeros((out_size, in_size), dtype=np.float32)
+        for i in range(out_size):
+            lo = (i * in_size) // out_size
+            hi = -(-((i + 1) * in_size) // out_size)  # ceil
+            m[i, lo:hi] = 1.0 / (hi - lo)
+        return jnp.asarray(m)
+
+    mh = pool_matrix(oh, h)
+    mw = pool_matrix(ow, w)
+    out = jnp.einsum("oh,nhwc->nowc", mh, x.astype(jnp.float32))
+    out = jnp.einsum("pw,nowc->nopc", mw, out)
+    return out.astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("kernel", "stride"))
+def avg_pool(x: jnp.ndarray, kernel: int, stride: int | None = None) -> jnp.ndarray:
+    """torch nn.AvgPool2d(kernel) on NHWC input (stride defaults to kernel)."""
+    stride = stride or kernel
+    out = lax.reduce_window(
+        x, 0.0, lax.add, (1, kernel, kernel, 1), (1, stride, stride, 1), "VALID"
+    )
+    return out / (kernel * kernel)
+
+
+@partial(jax.jit, static_argnames=("scale",))
+def upsample_repeat(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """torch nn.Upsample(scale_factor=s) (nearest, integer scale) on NHWC.
+
+    Used by the CLIP/perceptual resize trick (criteria/clip_loss.py:11-15):
+    1024 -> x7 -> avgpool(32) -> 224.
+    """
+    n, h, w, c = x.shape
+    out = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, scale, w, scale, c))
+    return out.reshape(n, h * scale, w * scale, c)
