@@ -1,0 +1,137 @@
+"""End-to-end pipeline smoke: CLIs, demo API, eval harness, checkpoints."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+SIZE = 64
+
+
+def test_run_clustering_cli(tmp_path):
+    from where2edit_tpu.cli.run_clustering import main
+
+    out = main(["--stylegan_size", str(SIZE), "--ckpt", "/nonexistent",
+                "--attention_layer", "7", "--cluster_num", "4",
+                "--batch_size", "2", "--step", "2",
+                "--results_dir", str(tmp_path)])
+    assert os.path.isfile(out)
+    assert (tmp_path / "final_cluster.jpg").exists()
+    import pickle
+
+    with open(out, "rb") as f:
+        centers = pickle.load(f)
+    assert centers.shape[0] == 4
+
+
+def test_edit_session_and_one_text_edit():
+    from where2edit_tpu.demo.api import EditSession
+    from where2edit_tpu.editing.attention_mappers import (
+        FullSpaceMapperFEATClusterLinStyle,
+        attention_tables,
+    )
+    from where2edit_tpu.models.stylegan2 import Generator
+
+    gen = Generator(size=SIZE)
+    key = jax.random.PRNGKey(0)
+    gvars = gen.init({"params": key, "noise": key}, [jnp.zeros((1, 512))])
+    tables = attention_tables(SIZE)
+    att_layer = 7
+    mapper = FullSpaceMapperFEATClusterLinStyle(
+        layers=tables["n_latent"], attention_layer=att_layer,
+        cluster_layer=att_layer, clusters=4, cluster_dim=512 + 64,
+        generator_size=SIZE, latent_dim=32, in_dim=32 + 512)
+
+    z = jnp.zeros((1, 512))
+    out = gen.apply(gvars, [z], randomize_noise=False, return_features=True)
+    feats = list(out.feature_map) + [gvars["params"]["input"]["input"]]
+    text = jnp.zeros((1, 32))
+    mvars = dict(mapper.init({"params": key}, text, out.style_vector, feats,
+                             feats[att_layer - 1].shape[1],
+                             deterministic_noise=True))
+    mvars["clusters"] = {"initial_state":
+                         jax.random.normal(key, (4, 512 + 64))}
+
+    session = EditSession(
+        generator=gen, gen_vars=gvars, mapper=mapper, mapper_vars=mvars,
+        clip_encode_text=lambda toks: jnp.zeros((toks.shape[0], 32)),
+        attention_layer=att_layer)
+    img0 = session.load_synthetic(jax.random.PRNGKey(3))
+    assert img0.shape == (1, SIZE, SIZE, 3)
+    img, amap = session.edit(np.zeros((1, 77), np.int32),
+                             strength_alpha=0.2)
+    assert img.shape == (1, SIZE, SIZE, 3)
+    assert amap.shape[0] == 1 and amap.shape[-1] == 1
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from where2edit_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "nested": {"b": np.ones((4,), np.float32)}}
+    save_checkpoint(str(tmp_path / "ck"), tree, opts={"x": 1})
+    loaded, opts = load_checkpoint(str(tmp_path / "ck"))
+    assert opts["x"] == 1
+    np.testing.assert_array_equal(np.asarray(loaded["a"]), tree["a"])
+    np.testing.assert_array_equal(np.asarray(loaded["nested"]["b"]),
+                                  tree["nested"]["b"])
+
+
+def test_fid_and_is_statistics():
+    from where2edit_tpu.eval.metrics import (
+        frechet_distance,
+        inception_score_from_probs,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((500, 16)).astype(np.float32)
+    b = rng.standard_normal((500, 16)).astype(np.float32) + 0.5
+    same = frechet_distance(a, a[:400])
+    diff = frechet_distance(a, b)
+    assert same < diff
+    assert diff > 1.0
+
+    # peaked distributions → higher IS than uniform
+    probs_peaked = np.eye(8)[rng.integers(0, 8, 200)] * 0.9 + 0.0125
+    probs_flat = np.full((200, 8), 1 / 8)
+    assert (inception_score_from_probs(probs_peaked)
+            > inception_score_from_probs(probs_flat))
+
+
+def test_iou_remap_and_jaccard():
+    from where2edit_tpu.eval.iou import jaccard, remap_celeba_labels
+
+    label = np.zeros((8, 8), np.int64)
+    label[:4, :4] = 1   # region 1
+    label[4:, 4:] = 13  # region 8
+    planes = remap_celeba_labels(label)
+    assert planes.shape == (8, 8, 8)
+    assert planes[0, :4, :4].all() and planes[7, 4:, 4:].all()
+
+    pred = planes.reshape(8, -1).T
+    per, macro = jaccard(pred, pred)
+    assert macro == pytest.approx(2 / 8)  # 2 populated regions, perfect IoU
+
+
+def test_psp_composite_random_weights():
+    from where2edit_tpu.models.encoders import Encoder4Editing
+    from where2edit_tpu.models.psp import PSp
+    from where2edit_tpu.models.stylegan2 import Generator
+
+    gen = Generator(size=SIZE)
+    key = jax.random.PRNGKey(0)
+    gvars = gen.init({"params": key, "noise": key}, [jnp.zeros((1, 512))])
+    enc = Encoder4Editing(stylegan_size=SIZE)
+    evars = enc.init(key, jnp.zeros((1, 256, 256, 3)))
+    psp = PSp(enc, evars, gen, gvars,
+              latent_avg=jnp.zeros((gen.n_latent, 512)))
+    x = jax.random.normal(key, (1, 256, 256, 3))
+    img, latent, styles = psp(x, return_latents=True)
+    assert img.shape == (1, 256, 256, 3)
+    assert latent.shape == (1, gen.n_latent, 512)
+    assert len(styles) == 2 + 3 * (gen.log_size - 2)

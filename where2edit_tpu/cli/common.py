@@ -1,0 +1,59 @@
+"""Shared CLI plumbing: checkpoint loading + model construction."""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from where2edit_tpu.convert.stylegan2 import convert_generator_params
+from where2edit_tpu.models.stylegan2 import Generator
+
+
+def load_torch_state(path: str):
+    """torch.load without needing CUDA; returns the raw object."""
+    import torch  # noqa: PLC0415
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def build_generator(size: int, ckpt_path: str | None,
+                    channel_multiplier: int = 2):
+    """Generator + variables (converted from a rosinality checkpoint when
+    given, random init otherwise) + mean latent helper."""
+    gen = Generator(size=size, channel_multiplier=channel_multiplier)
+    if ckpt_path and os.path.isfile(ckpt_path):
+        ckpt = load_torch_state(ckpt_path)
+        sd = ckpt.get("g_ema", ckpt)
+        variables = jax.tree.map(
+            jnp.asarray, convert_generator_params(sd, size))
+        latent_avg = ckpt.get("latent_avg")
+        latent_avg = (jnp.asarray(np.asarray(latent_avg))
+                      if latent_avg is not None else None)
+    else:
+        key = jax.random.PRNGKey(0)
+        variables = gen.init({"params": key, "noise": key},
+                             [jnp.zeros((1, 512))])
+        latent_avg = None
+    return gen, variables, latent_avg
+
+
+def mean_latent(gen, variables, key, n: int = 4096) -> jnp.ndarray:
+    return gen.apply(variables, key, n, method=Generator.mean_latent)
+
+
+def save_pickle(obj, path: str):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def load_cluster_centers(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        centers = pickle.load(f)
+    if hasattr(centers, "numpy"):
+        centers = centers.numpy()
+    return np.asarray(centers, dtype=np.float32)

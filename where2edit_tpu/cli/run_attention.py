@@ -1,0 +1,260 @@
+"""Phase-2 region-attention training CLI.
+
+↔ attention/run_attention.py:896-1605 (flags :1549-1605). Orchestrates the
+full pipeline: corpus, CLIP text/image encoding, cluster centers, the two
+production mappers, the jitted global-batch training step, periodic
+checkpoints + image/attention grids + video.txt, and final renders.
+
+Requires converted checkpoints for the generator (--ckpt) and CLIP
+(--clip_ckpt); without them this still runs with random weights (smoke mode)
+so the pipeline is exercisable on weightless machines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import random
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from where2edit_tpu.cli.common import (
+    build_generator,
+    load_cluster_centers,
+    load_torch_state,
+    mean_latent,
+)
+from where2edit_tpu.convert.clip import convert_clip_params
+from where2edit_tpu.editing.attention_mappers import (
+    FullSpaceMapperFEATClusterLin,
+    FullSpaceMapperFEATClusterLinStyle,
+    FullSpaceMapperFEATLin,
+    FullSpaceMapperFEATLinStyle,
+)
+from where2edit_tpu.losses.clip_loss import CLIPLoss
+from where2edit_tpu.losses.perceptual import PerceptualLoss
+from where2edit_tpu.models.clip_model import CLIP
+from where2edit_tpu.models.clip_tokenizer import tokenize
+from where2edit_tpu.models.vgg import Vgg16
+from where2edit_tpu.train.attention_trainer import (
+    AttentionTrainConfig,
+    AttentionTrainer,
+)
+from where2edit_tpu.train.checkpoints import save_checkpoint
+from where2edit_tpu.train.corpus import ATTENTION_PROMPTS, load_corpus
+from where2edit_tpu.utils.images import save_image_grid
+from where2edit_tpu.utils.logging import Logger, MetricsWriter
+from where2edit_tpu.utils.seed import set_random_seed
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--description_dir", type=str, default="celeba-caption")
+    p.add_argument("--description", type=str,
+                   default="a person with purple hair")
+    p.add_argument("--attention_description", type=str, default="blonde hair")
+    p.add_argument("--own_description_dir", type=str,
+                   default="my_phras_simple.txt")
+    p.add_argument("--ckpt", type=str,
+                   default="pretrained_models/stylegan2-ffhq-config-f.pt")
+    p.add_argument("--clip_ckpt", type=str, default=None,
+                   help="openai CLIP ViT-B/32 state dict (.pt)")
+    p.add_argument("--vgg_ckpt", type=str, default=None)
+    p.add_argument("--stylegan_size", type=int, default=1024)
+    p.add_argument("--channel_multiplier", type=int, default=2)
+    p.add_argument("--attention_layer", type=int, default=8)
+    p.add_argument("--use_cluster", action="store_true")
+    p.add_argument("--cluster_path", type=str, default=None)
+    p.add_argument("--cluster_layer", type=int, default=13)
+    p.add_argument("--cluster_num", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="GLOBAL batch (the reference's is per-GPU)")
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--lambda_ess", type=float, default=0.6)
+    p.add_argument("--lambda_sec", type=float, default=0.6)
+    p.add_argument("--lambda_id", type=float, default=0.3)
+    p.add_argument("--lambda_delta", type=float, default=0.008)
+    p.add_argument("--step", type=int, default=300)
+    p.add_argument("--truncation", type=float, default=0.7)
+    p.add_argument("--work_in_stylespace", action="store_true")
+    p.add_argument("--save_intermediate_image_every", type=int, default=20)
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--seed", type=int, default=200)
+    return p
+
+
+def load_clip(clip_ckpt: str | None):
+    clip_model = CLIP()
+    if clip_ckpt and os.path.isfile(clip_ckpt):
+        sd = load_torch_state(clip_ckpt)
+        sd = sd.state_dict() if hasattr(sd, "state_dict") else sd
+        clip_vars = jax.tree.map(jnp.asarray, convert_clip_params(sd))
+    else:
+        print("[warn] no CLIP checkpoint — random weights (smoke mode)")
+        key = jax.random.PRNGKey(0)
+        clip_vars = clip_model.init(
+            {"params": key}, jnp.zeros((1, 224, 224, 3)),
+            jnp.zeros((1, 77), jnp.int32))
+    return clip_model, clip_vars
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    key = set_random_seed(args.seed)
+    rng = random.Random(args.seed)
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    exp_name = args.description.replace(" ", "-") + "-" + stamp
+    output_dir = os.path.join(args.results_dir, "outputs", exp_name)
+    os.makedirs(output_dir, exist_ok=True)
+    sys.stdout = Logger(sys.stdout, os.path.join(output_dir, "run.log"))
+    metrics = MetricsWriter(os.path.join(args.results_dir, "logs", exp_name))
+    print("--------args----------")
+    for k, v in vars(args).items():
+        print(f"{k}: {v}")
+    print("--------args----------\n")
+
+    corpus = load_corpus(args.description_dir, None, args.own_description_dir,
+                         rng)
+    phrases = corpus.phrases or [args.description]
+
+    gen, gvars, _ = build_generator(args.stylegan_size, args.ckpt,
+                                    args.channel_multiplier)
+    key, k = jax.random.split(key)
+    mean_w = mean_latent(gen, gvars, k)
+
+    clip_model, clip_vars = load_clip(args.clip_ckpt)
+    clip_loss = CLIPLoss(clip_model, clip_vars, args.stylegan_size)
+
+    vgg = Vgg16()
+    if args.vgg_ckpt and os.path.isfile(args.vgg_ckpt):
+        from where2edit_tpu.convert.vgg import convert_vgg16_params  # noqa: PLC0415
+
+        vgg_vars = jax.tree.map(jnp.asarray, convert_vgg16_params(
+            load_torch_state(args.vgg_ckpt)))
+    else:
+        print("[warn] no VGG checkpoint — random weights (smoke mode)")
+        vgg_vars = vgg.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 224, 224, 3)))
+    perceptual = PerceptualLoss(vgg, vgg_vars, args.stylegan_size)
+
+    clusters = args.cluster_num
+    centers = None
+    if args.use_cluster and args.cluster_path:
+        centers = load_cluster_centers(args.cluster_path)
+        clusters = centers.shape[0]
+
+    n_latent = gen.n_latent
+    mapper_kwargs = dict(
+        layers=n_latent, attention_layer=args.attention_layer,
+        channel_multiplier=args.channel_multiplier,
+        generator_size=args.stylegan_size)
+    if not args.work_in_stylespace and not args.use_cluster:
+        mapper = FullSpaceMapperFEATLin(**mapper_kwargs)
+    elif not args.work_in_stylespace:
+        mapper = FullSpaceMapperFEATClusterLin(
+            cluster_layer=args.cluster_layer, clusters=clusters,
+            cluster_dim=centers.shape[1] if centers is not None else 576,
+            **mapper_kwargs)
+    elif args.use_cluster:
+        mapper = FullSpaceMapperFEATClusterLinStyle(
+            cluster_layer=args.cluster_layer, clusters=clusters,
+            cluster_dim=centers.shape[1] if centers is not None else 576,
+            **mapper_kwargs)
+    else:
+        mapper = FullSpaceMapperFEATLinStyle(**mapper_kwargs)
+
+    # representative init inputs
+    b = args.batch_size
+    key, k = jax.random.split(key)
+    z = jax.random.normal(k, (b, 512))
+    out = gen.apply(gvars, [z], input_is_latent=False, randomize_noise=False,
+                    return_features=True)
+    feats = list(out.feature_map)
+    const = gvars["params"]["input"]["input"]
+    feats.append(jnp.broadcast_to(const, (b, *const.shape[1:])))
+    blend_size = feats[args.attention_layer - 1].shape[1]
+    text0 = jnp.zeros((b, 512))
+    key, k = jax.random.split(key)
+    if args.work_in_stylespace:
+        mvars = mapper.init({"params": k}, text0, out.style_vector, feats,
+                            blend_size, deterministic_noise=True)
+    else:
+        wplus = jnp.zeros((b, n_latent, 512))
+        mvars = mapper.init({"params": k}, text0, wplus, feats, blend_size)
+    mvars = dict(mvars)
+    if centers is not None:
+        mvars["clusters"] = {"initial_state": jnp.asarray(centers)}
+
+    if args.resume:
+        from where2edit_tpu.train.checkpoints import load_checkpoint  # noqa: PLC0415
+
+        tree, _ = load_checkpoint(args.resume)
+        mvars["params"] = jax.tree.map(jnp.asarray, tree["mapper"])
+        print(f"resumed mapper from {args.resume}")
+
+    def encode_image(img):
+        return clip_loss.encode_image(img)
+
+    cfg = AttentionTrainConfig(
+        stylegan_size=args.stylegan_size,
+        attention_layer=args.attention_layer,
+        cluster_layer=args.cluster_layer, batch_size=b, lr=args.lr,
+        lambda_ess=args.lambda_ess, lambda_sec=args.lambda_sec,
+        lambda_id=args.lambda_id, lambda_delta=args.lambda_delta,
+        step=args.step, truncation=args.truncation,
+        work_in_stylespace=args.work_in_stylespace, seed=args.seed)
+    trainer = AttentionTrainer(
+        cfg, generator=gen, gen_vars=gvars, mapper=mapper,
+        mapper_params=mvars["params"], encode_image=encode_image,
+        perceptual=perceptual, mean_latent=mean_w,
+        mapper_extra_variables={k_: v for k_, v in mvars.items()
+                                if k_ not in ("params",)})
+
+    # per-step attention text: random fixed region prompt, row-0 broadcast
+    att_tokens = jnp.asarray(tokenize(
+        [ATTENTION_PROMPTS[rng.randrange(len(ATTENTION_PROMPTS))]
+         for _ in range(b)]))
+    att_text = clip_loss.encode_text(att_tokens)
+
+    video_path = os.path.join(output_dir, "video.txt")
+    video_f = open(video_path, "w")
+
+    def callback(i, scal, img, amap):
+        for name, v in scal.items():
+            metrics.add_scalar(f"loss/{name}", v, i)
+        if (args.save_intermediate_image_every > 0
+                and (i + 1) % args.save_intermediate_image_every == 0):
+            save_checkpoint(
+                os.path.join(output_dir, f"{i + 1:05d}_mapper"),
+                {"mapper": trainer.mapper_params,
+                 **trainer.mapper_variables_extra},
+                opts=vars(args))
+            save_image_grid(np.asarray(img),
+                            os.path.join(output_dir, f"{i + 1:05d}.jpg"),
+                            nrow=b, scale_each=True)
+            save_image_grid(np.asarray(amap),
+                            os.path.join(output_dir,
+                                         f"attention{i + 1:05d}.jpg"),
+                            nrow=b, value_range=(0, 1))
+            video_f.write(f"file ./{i + 1:05d}.jpg\nduration 0.2\n")
+        print(f"step {i}: " + "; ".join(f"{k_}={v:.4f}"
+                                        for k_, v in scal.items()))
+
+    trainer.run(att_text, log_every=1, callback=callback)
+    video_f.close()
+
+    save_checkpoint(os.path.join(output_dir, "final_mapper"),
+                    {"mapper": trainer.mapper_params,
+                     **trainer.mapper_variables_extra}, opts=vars(args))
+    print(f"done → {output_dir}")
+    return output_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""one_text_edit — the inference-grade editing API.
+
+Reference: show_demo/utils_demo.py:142-157. Given CLIP text features, the
+S-space (or W+) latents and the original feature taps, predicts edited
+latents + a spatial attention mask, thresholds+blurs the mask, and
+re-synthesizes with masked blending. The whole path is one jitted program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from where2edit_tpu.editing.masks import demo_threshold
+from where2edit_tpu.ops.gaussian_blur import gaussian_blur
+
+
+def one_text_edit(*, generator, gen_vars, mapper, mapper_vars,
+                  text_features, attention_text_features, latent, feature_map,
+                  attention_layer: int, work_in_stylespace: bool = True,
+                  strength_alpha: float = 0.1,
+                  attention_threshold: float = 0.75,
+                  deterministic_noise: bool = True):
+    """Edit one batch. ``latent``: W+ (B,L,512) or list of S-space (B,C).
+
+    Returns (img_gen, new_latents, attention_map, new_feature_map).
+    """
+    blend_size = feature_map[attention_layer - 1].shape[1]
+    if work_in_stylespace:
+        mo = mapper.apply(mapper_vars, text_features, latent, feature_map,
+                          blend_size, attention_text=attention_text_features,
+                          train=False, strength_alpha=strength_alpha,
+                          pooled_map=True, finalize=False,
+                          deterministic_noise=deterministic_noise)
+        new_latents = mo.latents
+        gen_in = new_latents
+    else:
+        mo = mapper.apply(mapper_vars, text_features, latent, feature_map,
+                          blend_size, attention_text=attention_text_features,
+                          train=False)
+        new_latents = latent + mo.latents
+        gen_in = [new_latents]
+
+    amap = demo_threshold(mo.attention_map, attention_threshold)
+    amap = gaussian_blur(amap, 5)
+
+    out = generator.apply(
+        gen_vars, gen_in,
+        input_is_latent=not work_in_stylespace,
+        input_is_stylespace=work_in_stylespace,
+        randomize_noise=False, return_features=True,
+        attention_layer=attention_layer, attention_map=amap,
+        feature_map=feature_map)
+    return out.image, new_latents, amap, out.feature_map
+
+
+class EditSession:
+    """Stateful demo session: holds models, caches the jitted edit fn.
+
+    Mirrors show_demo/try_demo.py's cached-model flow: synthesize or invert a
+    face once (keeping its S-space latents + feature taps), then edit with
+    arbitrary prompts at interactive rates.
+    """
+
+    def __init__(self, *, generator, gen_vars, mapper, mapper_vars,
+                 clip_encode_text, attention_layer: int = 13,
+                 work_in_stylespace: bool = True):
+        self.generator = generator
+        self.gen_vars = gen_vars
+        self.mapper = mapper
+        self.mapper_vars = mapper_vars
+        self.clip_encode_text = clip_encode_text
+        self.attention_layer = attention_layer
+        self.work_in_stylespace = work_in_stylespace
+        self.latent = None
+        self.feature_map = None
+        self.image = None
+        self._edit = jax.jit(partial(
+            one_text_edit, generator=generator, gen_vars=gen_vars,
+            mapper=mapper, mapper_vars=mapper_vars,
+            attention_layer=attention_layer,
+            work_in_stylespace=work_in_stylespace),
+            static_argnames=("strength_alpha", "attention_threshold"))
+
+    def load_synthetic(self, key, truncation: float = 0.7,
+                       mean_latent: Optional[jnp.ndarray] = None):
+        """Seeded sample (try_demo 'Syn' mode)."""
+        if mean_latent is None:
+            if not hasattr(self, "_mean_latent"):
+                from where2edit_tpu.models.stylegan2 import Generator  # noqa: PLC0415
+
+                self._mean_latent = jax.jit(
+                    lambda k: self.generator.apply(
+                        self.gen_vars, k, 4096,
+                        method=Generator.mean_latent))(jax.random.PRNGKey(0))
+            mean_latent = self._mean_latent
+        z = jax.random.normal(key, (1, 512))
+        out = self.generator.apply(
+            self.gen_vars, [z], truncation=truncation,
+            truncation_latent=mean_latent, return_latents=True,
+            randomize_noise=False)
+        return self._capture(out.latent)
+
+    def load_latent(self, wplus: jnp.ndarray):
+        """e4e-inverted W+ (try_demo 'Real' mode)."""
+        return self._capture(wplus)
+
+    def _capture(self, wplus):
+        out = self.generator.apply(
+            self.gen_vars, [wplus], input_is_latent=True,
+            randomize_noise=False, return_features=True)
+        feats = list(out.feature_map)
+        const = self.gen_vars["params"]["input"]["input"]
+        feats.append(jnp.broadcast_to(const, (wplus.shape[0],
+                                              *const.shape[1:])))
+        self.feature_map = feats
+        self.image = out.image
+        self.latent = (out.style_vector if self.work_in_stylespace
+                       else out.latent)
+        return out.image
+
+    def edit(self, prompt_tokens, attention_tokens=None,
+             strength_alpha: float = 0.1, attention_threshold: float = 0.75):
+        if self.latent is None:
+            raise RuntimeError("load a face first (load_synthetic/load_latent)")
+        text = self.clip_encode_text(prompt_tokens)
+        att = (self.clip_encode_text(attention_tokens)
+               if attention_tokens is not None else text)
+        img, new_lat, amap, _ = self._edit(
+            text_features=text, attention_text_features=att,
+            latent=self.latent, feature_map=self.feature_map,
+            strength_alpha=strength_alpha,
+            attention_threshold=attention_threshold)
+        return img, amap

@@ -1,0 +1,153 @@
+"""Streamlit demo app (reference: show_demo/try_demo.py:22-175).
+
+Run: streamlit run where2edit_tpu/demo/app.py -- --ckpt ... --mapper ...
+Falls back with a clear message when streamlit isn't installed (use
+``python -m where2edit_tpu.demo.server`` for the stdlib web demo).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+# try_demo.py:132-145 — fixed attention-region dropdown
+REGION_PROMPTS = {
+    "skin": "tanned skin",
+    "nose": "narrow nose",
+    "eyes": "narrow eyes",
+    "eyebrows": "thin eyebrows",
+    "ears": "wearing a pair of earrings",
+    "mouth": "pink lipsticks",
+    "hair": "grey hair",
+}
+
+
+def load_session(args):
+    import jax
+    import jax.numpy as jnp
+
+    from where2edit_tpu.cli.common import build_generator, load_torch_state
+    from where2edit_tpu.cli.run_attention import load_clip
+    from where2edit_tpu.convert.mappers import convert_feat_cluster_lin_style
+    from where2edit_tpu.demo.api import EditSession
+    from where2edit_tpu.editing.attention_mappers import (
+        FullSpaceMapperFEATClusterLinStyle,
+    )
+    from where2edit_tpu.losses.clip_loss import CLIPLoss
+
+    gen, gvars, _ = build_generator(args.stylegan_size, args.ckpt)
+    clip_model, clip_vars = load_clip(args.clip_ckpt)
+    closs = CLIPLoss(clip_model, clip_vars, args.stylegan_size)
+
+    mapper = FullSpaceMapperFEATClusterLinStyle(
+        layers=gen.n_latent, attention_layer=args.attention_layer,
+        cluster_layer=args.cluster_layer,
+        generator_size=args.stylegan_size)
+    if args.mapper and args.mapper.endswith(".pt"):
+        sd = load_torch_state(args.mapper)
+        mvars = jax.tree.map(jnp.asarray, convert_feat_cluster_lin_style(
+            sd, attention_layer=args.attention_layer))
+    elif args.mapper:
+        from where2edit_tpu.train.checkpoints import load_checkpoint
+
+        tree, _ = load_checkpoint(args.mapper)
+        mvars = {"params": jax.tree.map(jnp.asarray, tree["mapper"])}
+        if "clusters" in tree:
+            mvars["clusters"] = jax.tree.map(jnp.asarray, tree["clusters"])
+    else:
+        key = jax.random.PRNGKey(0)
+        z = jnp.zeros((1, 512))
+        out = gen.apply(gvars, [z], randomize_noise=False,
+                        return_features=True)
+        feats = list(out.feature_map) + [gvars["params"]["input"]["input"]]
+        mvars = mapper.init({"params": key}, jnp.zeros((1, 512)),
+                            out.style_vector, feats,
+                            feats[args.attention_layer - 1].shape[1],
+                            deterministic_noise=True)
+
+    session = EditSession(
+        generator=gen, gen_vars=gvars, mapper=mapper, mapper_vars=mvars,
+        clip_encode_text=closs.encode_text,
+        attention_layer=args.attention_layer)
+    return session, closs
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", type=str,
+                   default="pretrained_models/stylegan2-ffhq-config-f.pt")
+    p.add_argument("--mapper", type=str, default=None,
+                   help="trained mapper (.pt torch or native ckpt dir)")
+    p.add_argument("--clip_ckpt", type=str, default=None)
+    p.add_argument("--e4e_ckpt", type=str, default=None)
+    p.add_argument("--stylegan_size", type=int, default=1024)
+    p.add_argument("--attention_layer", type=int, default=13)
+    p.add_argument("--cluster_layer", type=int, default=13)
+    return p
+
+
+def main():
+    try:
+        import streamlit as st
+    except ImportError:
+        raise SystemExit(
+            "streamlit is not installed; run the stdlib demo instead:\n"
+            "  python -m where2edit_tpu.demo.server --help")
+
+    import jax
+    import jax.numpy as jnp
+
+    from where2edit_tpu.models.clip_tokenizer import tokenize
+
+    args = build_argparser().parse_args()
+
+    @st.cache_resource
+    def _load():
+        return load_session(args)
+
+    session, closs = _load()
+    st.title("Where You Edit is What You Get — TPU")
+    mode = st.sidebar.radio("Source", ["Syn", "Real"])
+    seed = st.sidebar.number_input("Seed", 0, 10_000, 0)
+    prompt = st.text_input("Edit prompt", "a person with grey hair")
+    region = st.sidebar.selectbox("Attention region",
+                                  list(REGION_PROMPTS.keys()), index=6)
+    strength = st.sidebar.slider("Strength α", 0.0, 0.3, 0.1)
+    coverage = st.sidebar.slider("Attention coverage", 0.0, 1.0, 0.0)
+    threshold = 1.0 - 0.25 * coverage  # try_demo.py slider mapping
+
+    if mode == "Syn":
+        session.load_synthetic(jax.random.PRNGKey(int(seed)))
+    else:
+        uploaded = st.file_uploader("Upload a face")
+        if uploaded and args.e4e_ckpt:
+            from PIL import Image
+
+            from where2edit_tpu.cli.common import load_torch_state
+            from where2edit_tpu.models.psp import PSp
+
+            img = Image.open(uploaded).convert("RGB").resize((256, 256))
+            x = (np.asarray(img, np.float32) / 127.5 - 1.0)[None]
+            psp = PSp.from_torch_checkpoint(
+                load_torch_state(args.e4e_ckpt),
+                stylegan_size=args.stylegan_size)
+            w = psp.encode(jnp.asarray(x))
+            session.load_latent(w)
+
+    if session.latent is not None and st.button("Edit"):
+        toks = jnp.asarray(tokenize([prompt]))
+        att = jnp.asarray(tokenize([REGION_PROMPTS[region]]))
+        img, amap = session.edit(toks, att, strength_alpha=float(strength),
+                                 attention_threshold=float(threshold))
+        c1, c2, c3 = st.columns(3)
+        from where2edit_tpu.utils.images import to_uint8
+
+        c1.image(to_uint8(np.asarray(session.image))[0], "original")
+        c2.image(to_uint8(np.asarray(img))[0], "edited")
+        c3.image(to_uint8(np.asarray(amap), value_range=(0, 1))[0],
+                 "attention")
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,7 @@ class EqualConv2d(fnn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    bias_init: float = 0.0
 
     @fnn.compact
     def __call__(self, x):
@@ -112,7 +113,8 @@ class EqualConv2d(fnn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            b = self.param("bias", fnn.initializers.zeros, (self.out_channel,))
+            b = self.param("bias", fnn.initializers.constant(self.bias_init),
+                           (self.out_channel,))
             out = out + b.astype(out.dtype)
         return out
 

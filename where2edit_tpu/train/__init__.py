@@ -1,0 +1,6 @@
+"""Training harness: optimizers, coach (StyleCLIP), attention trainer, ckpt."""
+
+from where2edit_tpu.train.ranger import ranger
+from where2edit_tpu.train.lr import styleclip_lr_schedule
+
+__all__ = ["ranger", "styleclip_lr_schedule"]

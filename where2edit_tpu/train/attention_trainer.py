@@ -1,0 +1,224 @@
+"""Region-attention training (the paper's phase 2), TPU-native.
+
+Reference driver: attention/run_attention.py:896-1546 (call stack in
+SURVEY.md §3.1). The reference runs 1 process/GPU with NCCL broadcasts +
+gradient-gathering InfoNCE; here the *global batch* formulation makes every
+collective implicit:
+
+  * "rank-0 broadcasts its sample so every rank edits the same face with a
+    different condition" (run_attention.py:1208-1230) ⇒ take global row 0
+    and broadcast — under pjit XLA emits the matching ICI collective.
+  * the gradient-carrying all-gather InfoNCE (GatherLayer + CE,
+    run_attention.py:1312-1318) ⇒ a plain matmul over the global batch.
+  * per-step flow (3 synthesis passes + 2 CLIP image passes + VGG + mapper
+    backward) is ONE jitted program, so XLA fuses and schedules the whole
+    step instead of ~10 eager graph launches.
+
+The frozen-attention quirk (t < 1.15 is always true, run_attention.py:
+1076-1083 — attention params never train in the reference run) is
+reproduced by default via gradient masking; set
+``freeze_attention_until=0.0`` to actually train the attention branch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from where2edit_tpu.editing.attention_mappers import MapperOutput
+from where2edit_tpu.losses.infonce import infonce_consistency
+from where2edit_tpu.train.lr import styleclip_lr_schedule
+
+
+@dataclasses.dataclass
+class AttentionTrainConfig:
+    """attention/run_attention.py:1549-1605 defaults."""
+    stylegan_size: int = 1024
+    attention_layer: int = 8
+    cluster_layer: int = 13
+    batch_size: int = 1            # per-device in the reference; global here
+    lr: float = 0.1
+    lambda_ess: float = 0.6
+    lambda_sec: float = 0.6
+    lambda_id: float = 0.3
+    lambda_delta: float = 0.008
+    step: int = 300
+    truncation: float = 0.7
+    work_in_stylespace: bool = False
+    freeze_attention_until: float = 1.15   # reference quirk: never unfreezes
+    seed: int = 200
+
+
+def _broadcast_row0(tree):
+    """Every sample sees global row 0 (the reference's dist.broadcast(src=0))."""
+    def bc(x):
+        return jnp.broadcast_to(x[:1], x.shape)
+    return jax.tree.map(bc, tree)
+
+
+def _attention_param_mask(params) -> Any:
+    """True for trainable params; False for attention/initial ones while the
+    reference freeze is active (run_attention.py:1076-1083: module names
+    starting with 'attention' or 'initial')."""
+    from flax import traverse_util  # noqa: PLC0415
+
+    flat_params = traverse_util.flatten_dict(params)
+    mask = {
+        k: not (k[0].startswith("attention") or k[0].startswith("initial")
+                or (len(k) > 1 and k[0] == "att"))
+        for k in flat_params
+    }
+    return traverse_util.unflatten_dict(mask)
+
+
+class AttentionTrainer:
+    """Builds and runs the jitted global-batch training step.
+
+    Model plumbing is injected so the trainer works with real CLIP weights,
+    random-weight smoke tests, and the multi-chip dryrun alike:
+      * generator, gen_vars — frozen synthesis network
+      * mapper, mapper params — the trainable module
+      * encode_image(img)->feats, perceptual(img1,img2)->scalar — callables
+    """
+
+    def __init__(self, cfg: AttentionTrainConfig, *, generator, gen_vars,
+                 mapper, mapper_params, encode_image: Callable,
+                 perceptual: Callable, mean_latent: jnp.ndarray,
+                 mapper_extra_variables: Optional[dict] = None):
+        self.cfg = cfg
+        self.mapper_variables_extra = dict(mapper_extra_variables or {})
+        self.generator = generator
+        self.gen_vars = gen_vars
+        self.mapper = mapper
+        self.mapper_params = mapper_params
+        self.encode_image = encode_image
+        self.perceptual = perceptual
+        self.mean_latent = mean_latent
+
+        schedule = styleclip_lr_schedule(cfg.lr, cfg.step)
+        self.opt = optax.adam(learning_rate=schedule)
+        self.opt_state = self.opt.init(mapper_params)
+        self.freeze_mask = _attention_param_mask(mapper_params)
+        self.step_fn = jax.jit(self._step)
+
+    # ------------------------------------------------------------- plumbing
+    def _synthesize(self, z):
+        """z → truncated W+ → (img, latent(s), styles, features+const)."""
+        g = self.generator
+        wplus = g.apply(self.gen_vars, [z], truncation=self.cfg.truncation,
+                        truncation_latent=self.mean_latent,
+                        return_latents=True, randomize_noise=False).latent
+        out = g.apply(self.gen_vars, [wplus], input_is_latent=True,
+                      randomize_noise=False, return_features=True)
+        feats = list(out.feature_map)
+        # append the const input tap (run_attention.py:1110)
+        batch = z.shape[0]
+        const = self.gen_vars["params"]["input"]["input"]
+        feats.append(jnp.broadcast_to(const,
+                                      (batch, *const.shape[1:])))
+        return out.image, wplus, out.style_vector, feats
+
+    def _mapper_forward(self, mapper_params, cond_features, latent, styles,
+                        feats, attention_text) -> tuple[Any, MapperOutput]:
+        cfg = self.cfg
+        blend_size = feats[cfg.attention_layer - 1].shape[1]
+        variables = {"params": mapper_params}
+        if "clusters" in self.mapper_variables_extra:
+            variables.update(self.mapper_variables_extra)
+        if cfg.work_in_stylespace:
+            out = self.mapper.apply(
+                variables, cond_features, styles, feats, blend_size,
+                attention_text=attention_text, train=True,
+                deterministic_noise=True)
+            new_latents = out.latents
+        else:
+            out = self.mapper.apply(
+                variables, cond_features, latent, feats, blend_size,
+                attention_text=attention_text, train=True)
+            new_latents = latent + out.latents  # strength = ones (ref :1236)
+        return new_latents, out
+
+    # ----------------------------------------------------------------- step
+    def _step(self, mapper_params, opt_state, step_idx, key, attention_text):
+        cfg = self.cfg
+        k1, k2 = jax.random.split(key)
+        t = step_idx / cfg.step
+
+        # batch 1: conditioning features (CLIP image embeddings of fresh
+        # faces; run_attention.py:1163-1172 — the text/perturb variants are
+        # dead code, image features win)
+        z1 = jax.random.normal(k1, (cfg.batch_size, 512))
+        img1, _, _, _ = self._synthesize(z1)
+        cond_features = jax.lax.stop_gradient(self.encode_image(img1))
+
+        # batch 2: the shared edit target — row 0 broadcast everywhere
+        z2 = jax.random.normal(k2, (cfg.batch_size, 512))
+        img2, wplus2, styles2, feats2 = self._synthesize(z2)
+        img2, wplus2 = _broadcast_row0(img2), _broadcast_row0(wplus2)
+        styles2 = _broadcast_row0(styles2)
+        feats2 = _broadcast_row0(feats2)
+        att_text = _broadcast_row0(attention_text)
+
+        def loss_fn(mparams):
+            new_latents, mo = self._mapper_forward(
+                mparams, cond_features, wplus2, styles2, feats2, att_text)
+            gen_out = self.generator.apply(
+                self.gen_vars,
+                new_latents if cfg.work_in_stylespace else [new_latents],
+                input_is_latent=not cfg.work_in_stylespace,
+                input_is_stylespace=cfg.work_in_stylespace,
+                randomize_noise=False,
+                attention_layer=cfg.attention_layer,
+                attention_map=mo.attention_map,
+                feature_map=feats2)
+            img_gen = gen_out.image
+            gen_features = self.encode_image(img_gen)
+            loss_consist = infonce_consistency(gen_features, cond_features)
+            loss_perceptual = self.perceptual(img_gen, img2)
+            ramp_a = jnp.clip((t - 0.15) / 0.1, 0.0, 1.0)
+            ramp_b = jnp.clip((t - 0.05) / 0.1, 0.0, 1.0)
+            # naming crosswire preserved (run_attention.py:1241-1243,1415):
+            # loss_essence := tv, loss_secphase := reg, loss_identity := vgg
+            total = (loss_consist
+                     + ramp_a * (cfg.lambda_ess * mo.loss_tv
+                                 + cfg.lambda_sec * mo.loss_reg)
+                     + ramp_b * cfg.lambda_id * loss_perceptual
+                     + cfg.lambda_delta * mo.loss_delta)
+            aux = {"loss": total, "consist": loss_consist,
+                   "perceptual": loss_perceptual, "delta": mo.loss_delta,
+                   "reg": mo.loss_reg, "tv": mo.loss_tv}
+            return total, (aux, img_gen, mo.attention_map)
+
+        (loss, (aux, img_gen, amap)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(mapper_params)
+
+        frozen = t < cfg.freeze_attention_until
+        grads = jax.tree.map(
+            lambda g, keep: jnp.where(jnp.logical_or(keep, ~frozen), g, 0.0),
+            grads,
+            jax.tree.map(jnp.asarray, self.freeze_mask))
+        updates, opt_state = self.opt.update(grads, opt_state, mapper_params)
+        mapper_params = optax.apply_updates(mapper_params, updates)
+        return mapper_params, opt_state, aux, img_gen, amap
+
+    # ------------------------------------------------------------------ run
+    def run(self, attention_text_batch: jnp.ndarray,
+            log_every: int = 10, callback: Optional[Callable] = None):
+        key = jax.random.PRNGKey(self.cfg.seed)
+        history = []
+        for i in range(self.cfg.step):
+            key, k = jax.random.split(key)
+            self.mapper_params, self.opt_state, aux, img, amap = self.step_fn(
+                self.mapper_params, self.opt_state, jnp.asarray(float(i)), k,
+                attention_text_batch)
+            if i % log_every == 0 or i == self.cfg.step - 1:
+                scal = {name: float(v) for name, v in aux.items()}
+                history.append((i, scal))
+                if callback:
+                    callback(i, scal, img, amap)
+        return history

@@ -1,0 +1,65 @@
+"""Checkpointing: orbax when available, msgpack fallback.
+
+Replaces the reference's raw torch.save dicts (coach.py:163-172,
+run_attention.py:1437,1486) with framework-native trees; the ``opts`` dict is
+persisted alongside exactly like the reference so inference can re-hydrate
+configuration (mapper/scripts/inference.py:29-32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, tree: Any, opts: Optional[dict] = None) -> None:
+    """Save a pytree (+opts json) to ``path`` (directory)."""
+    os.makedirs(path, exist_ok=True)
+    try:
+        import orbax.checkpoint as ocp  # noqa: PLC0415
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.join(path, "state"), _to_numpy_tree(tree),
+                   force=True)
+    except Exception:
+        from flax import serialization  # noqa: PLC0415
+
+        with open(os.path.join(path, "state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(_to_numpy_tree(tree)))
+    if opts is not None:
+        with open(os.path.join(path, "opts.json"), "w") as f:
+            json.dump(opts, f, indent=2, default=str)
+
+
+def load_checkpoint(path: str, target: Any = None):
+    """Load a pytree saved by save_checkpoint. Returns (tree, opts|None)."""
+    opts = None
+    opts_path = os.path.join(path, "opts.json")
+    if os.path.isfile(opts_path):
+        with open(opts_path) as f:
+            opts = json.load(f)
+    state_dir = os.path.join(path, "state")
+    if os.path.isdir(state_dir):
+        import orbax.checkpoint as ocp  # noqa: PLC0415
+
+        ckptr = ocp.PyTreeCheckpointer()
+        tree = ckptr.restore(state_dir)
+        return tree, opts
+    msgpack = os.path.join(path, "state.msgpack")
+    if os.path.isfile(msgpack):
+        from flax import serialization  # noqa: PLC0415
+
+        with open(msgpack, "rb") as f:
+            data = f.read()
+        if target is not None:
+            return serialization.from_bytes(target, data), opts
+        return serialization.msgpack_restore(data), opts
+    raise FileNotFoundError(f"no checkpoint under {path}")
