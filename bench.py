@@ -33,7 +33,9 @@ BASELINE_PER_CHIP = 50.0 / 8.0
 
 
 def main():
-    gen = Generator(size=SIZE)
+    # bf16 synthesis policy: MXU-native rate; SSIM(bf16, fp32) > 0.99
+    # (fp32 demod + fp32 RGB skip chain preserved inside the layers)
+    gen = Generator(size=SIZE, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     init_z = [jnp.zeros((1, 512))]
     gvars = jax.jit(lambda: gen.init({"params": key, "noise": key}, init_z))()

@@ -313,10 +313,14 @@ class ToRGB(fnn.Module):
         out, s = ModulatedConv2d(
             self.in_channel, 3, 1, self.style_dim, demodulate=False, name="conv"
         )(x, style, input_is_stylespace=input_is_stylespace)
+        # the RGB skip chain accumulates across every octave — keep it fp32
+        # even under a bf16 synthesis policy (3 channels: cost is nil)
+        out = out.astype(jnp.float32)
         bias = self.param("bias", fnn.initializers.zeros, (1, 1, 1, 3))
-        out = out + bias.astype(out.dtype)
+        out = out + bias
         if skip is not None:
-            skip = Upsample(self.blur_kernel, name="upsample")(skip)
+            skip = Upsample(self.blur_kernel, name="upsample")(
+                skip.astype(jnp.float32))
             out = out + skip
         return out, s
 

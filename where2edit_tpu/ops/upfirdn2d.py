@@ -61,6 +61,93 @@ def _is_separable(kernel: np.ndarray) -> bool:
     return bool(s.shape[0] < 2 or s[1] <= 1e-6 * max(s[0], 1e-30))
 
 
+def _axis_upfirdn_shift_add(x: jnp.ndarray, taps: np.ndarray, axis: int,
+                            up: int, down: int, pad0: int, pad1: int
+                            ) -> jnp.ndarray:
+    """1-D upfirdn along a spatial axis as weighted shift-adds.
+
+    Depthwise (feature_group_count=C) convs lower terribly on the TPU conv
+    unit; for the tiny FIR taps here a polyphase sum of strided slices is a
+    pure-VPU bandwidth-bound op that XLA fuses into one loop.
+    Semantics identical to the conv path (torch upfirdn):
+      y[j] = Σ_t k[t] · xpad_up[j·down + t]
+    where xpad_up is the zero-stuffed (×up, incl. trailing zeros) then
+    (pad0, pad1)-padded signal.
+    """
+    k = len(taps)
+    in_size = x.shape[axis]
+    total = in_size * up + pad0 + pad1
+    out_size = (total - k) // down + 1
+
+    def slice_axis(arr, start, size, stride=1):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(start, start + (size - 1) * stride + 1, stride)
+        return arr[tuple(idx)]
+
+    def pad_axis(arr, lo, hi):
+        if lo == 0 and hi == 0:
+            return arr
+        cfg = [(0, 0)] * arr.ndim
+        # negative pads crop
+        if lo < 0 or hi < 0:
+            size = arr.shape[axis]
+            arr = slice_axis(arr, max(-lo, 0), size - max(-lo, 0) - max(-hi, 0))
+            lo, hi = max(lo, 0), max(hi, 0)
+            cfg = [(0, 0)] * arr.ndim
+        cfg[axis] = (lo, hi)
+        return jnp.pad(arr, cfg)
+
+    if up == 1:
+        xp = pad_axis(x, pad0, pad1)
+        acc = None
+        for t in range(k):
+            term = float(taps[t]) * slice_axis(xp, t, out_size, down)
+            acc = term if acc is None else acc + term
+        return acc
+
+    # up > 1: polyphase. Output index j reads stuffed position j·down + t;
+    # a stuffed position p maps to x[p // up] iff p % up == 0 (within range).
+    # Compute each output phase r = j mod up ... but j·down couples phases;
+    # handle via per-phase accumulation over output strides of `up` when
+    # down == 1 (the only up>1 case in StyleGAN: up=2, down=1).
+    assert down == 1, "up>1 with down>1 not used by this framework"
+    phases = []
+    for r in range(up):
+        # outputs j ≡ r (mod up): stuffed pos = j + t ; nonzero when
+        # (j + t - pad0) % up == 0 → t ≡ (pad0 - r) (mod up)
+        acc = None
+        n_phase = (out_size - r + up - 1) // up
+        for t in range(k):
+            if (r + t - pad0) % up != 0:
+                continue
+            # x index for output j = r + up·m is m + base
+            base = (r + t - pad0) // up
+            lo_pad = max(-base, 0)
+            hi_pad = max(base + n_phase - x.shape[axis], 0)
+            xp = pad_axis(x, lo_pad, hi_pad)
+            seg = slice_axis(xp, base + lo_pad, n_phase)
+            term = float(taps[t]) * seg
+            acc = term if acc is None else acc + term
+        if acc is None:
+            shape = list(x.shape)
+            shape[axis] = n_phase
+            acc = jnp.zeros(shape, x.dtype)
+        phases.append(acc)
+
+    # interleave phases: pad phases to equal length then stack along a new
+    # axis right after `axis` and reshape
+    max_len = max(p.shape[axis] for p in phases)
+    padded = []
+    for p in phases:
+        deficit = max_len - p.shape[axis]
+        padded.append(pad_axis(p, 0, deficit))
+    stacked = jnp.stack(padded, axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = max_len * up
+    out = stacked.reshape(new_shape)
+    return slice_axis(out, 0, out_size)
+
+
 def upfirdn2d(x: jnp.ndarray, kernel, up: int = 1, down: int = 1,
               pad=(0, 0)) -> jnp.ndarray:
     """Apply upfirdn to an NHWC tensor.
@@ -83,7 +170,7 @@ def upfirdn2d(x: jnp.ndarray, kernel, up: int = 1, down: int = 1,
     padding = ((pad0, pad1 + up - 1), (pad0, pad1 + up - 1))
     flipped = jnp.asarray(kernel[::-1, ::-1].copy())
 
-    if _is_separable(kernel) and kh > 1 and kw > 1:
+    if _is_separable(kernel) and kh > 1 and kw > 1 and (down == 1 or up == 1):
         # kernel = outer(u, v); factor via the dominant singular vectors.
         k = np.asarray(kernel, dtype=np.float64)
         uu, ss, vv = np.linalg.svd(k)
@@ -91,18 +178,14 @@ def upfirdn2d(x: jnp.ndarray, kernel, up: int = 1, down: int = 1,
         krow = vv[0, :] * np.sqrt(ss[0])   # (kw,)
         if kcol.sum() < 0:  # normalize sign so both factors are non-negative
             kcol, krow = -kcol, -krow
-        kcol = jnp.asarray(kcol[::-1].copy(), dtype=jnp.float32)
-        krow = jnp.asarray(krow[::-1].copy(), dtype=jnp.float32)
-        out = _depthwise_conv(
-            x, kcol[:, None],
-            strides=(down, 1), padding=(padding[0], (0, 0)),
-            lhs_dilation=(up, 1),
-        )
-        out = _depthwise_conv(
-            out, krow[None, :],
-            strides=(1, down), padding=((0, 0), padding[1]),
-            lhs_dilation=(1, up),
-        )
+        # flipped taps = true convolution (y[j] = Σ k[t]·x_up[j+t] uses the
+        # cross-correlation orientation, so flip once here)
+        kcol = kcol[::-1].astype(np.float32)
+        krow = krow[::-1].astype(np.float32)
+        # NB: unlike the lhs_dilation path, the shift-add model already
+        # includes the trailing (up-1) stuffed zeros, so pad1 passes through.
+        out = _axis_upfirdn_shift_add(x, kcol, 1, up, down, pad0, pad1)
+        out = _axis_upfirdn_shift_add(out, krow, 2, up, down, pad0, pad1)
         return out
 
     return _depthwise_conv(

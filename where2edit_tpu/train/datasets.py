@@ -1,0 +1,85 @@
+"""Latent datasets + CelebAMask-HQ loader.
+
+Reference: mapper/datasets/latents_dataset.py:5-37 and utils.py:554-619.
+Host-side numpy iterables (TPU batches are materialized by the trainers).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from where2edit_tpu.editing.latent_mappers import STYLESPACE_DIMENSIONS
+
+
+class LatentsDataset:
+    """Thin view over a W+ latent tensor (latents_dataset.py:5-15)."""
+
+    def __init__(self, latents: np.ndarray):
+        self.latents = np.asarray(latents)
+
+    def __len__(self):
+        return len(self.latents)
+
+    def __getitem__(self, i):
+        return self.latents[i]
+
+
+class StyleSpaceLatentsDataset:
+    """Zero-pads per-layer style vectors to 512 and concatenates
+    (latents_dataset.py:18-37)."""
+
+    def __init__(self, latents: list):
+        padded = []
+        for latent in latents:  # latent: (N, 1, C) or (N, C)
+            arr = np.asarray(latent)
+            if arr.ndim == 2:
+                arr = arr[:, None, :]
+            pad = 512 - arr.shape[-1]
+            padded.append(np.pad(arr, ((0, 0), (0, 0), (0, pad))))
+        self.latents = np.concatenate(padded, axis=-1)  # (N, 1, 26·512)
+
+    def __len__(self):
+        return len(self.latents)
+
+    def __getitem__(self, i):
+        return self.latents[i]
+
+
+def convert_s_tensor_to_list(batch: np.ndarray) -> list:
+    """mapper/training/train_utils.py:17-21."""
+    return [batch[:, :, 512 * i: 512 * i + d]
+            for i, d in enumerate(STYLESPACE_DIMENSIONS)]
+
+
+class CelebAMaskHQ:
+    """Image/label pair loader (utils.py:554-591). Yields (PIL image paths
+    resolved lazily); use ``load(i, img_size, label_size)`` for arrays."""
+
+    def __init__(self, img_path: str, label_path: str):
+        self.pairs = []
+        if not os.path.isdir(img_path):
+            return
+        n = len([f for f in os.listdir(img_path)
+                 if os.path.isfile(os.path.join(img_path, f))])
+        for i in range(n):
+            self.pairs.append((os.path.join(img_path, f"{i}.jpg"),
+                               os.path.join(label_path, f"{i}.png")))
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def load(self, i: int, img_size: int = 256,
+             label_size: Optional[int] = None):
+        from PIL import Image  # noqa: PLC0415
+
+        img_p, lbl_p = self.pairs[i]
+        img = Image.open(img_p).convert("RGB").resize((img_size, img_size))
+        img_arr = np.asarray(img, np.float32) / 127.5 - 1.0  # utils.py:594-605
+        lbl = Image.open(lbl_p)
+        if label_size:
+            lbl = lbl.resize((label_size, label_size), Image.NEAREST)
+        lbl_arr = np.asarray(lbl).astype(np.int64)
+        return img_arr, lbl_arr
