@@ -18,7 +18,7 @@ from where2edit_tpu.train.attention_trainer import (
 )
 from where2edit_tpu.train.coach import Coach, CoachConfig
 
-SIZE = 64
+SIZE = 32
 
 
 @pytest.fixture(scope="module")
@@ -62,7 +62,7 @@ class FakeCLIP:
 def _build_trainer(gen, gvars, batch, steps=2):
     tables = attention_tables(SIZE)
     mapper = FullSpaceMapperFEATClusterLinStyle(
-        layers=tables["n_latent"], attention_layer=7, cluster_layer=7,
+        layers=tables["n_latent"], attention_layer=4, cluster_layer=4,
         clusters=4, cluster_dim=512 + 64, generator_size=SIZE,
         latent_dim=64, in_dim=64 + 512)
     key = jax.random.PRNGKey(1)
@@ -74,7 +74,7 @@ def _build_trainer(gen, gvars, batch, steps=2):
     feats = list(out.feature_map)
     const = gvars["params"]["input"]["input"]
     feats.append(jnp.broadcast_to(const, (batch, *const.shape[1:])))
-    blend_size = feats[6].shape[1]
+    blend_size = feats[3].shape[1]
     text = jnp.zeros((batch, 64))
     mvars = mapper.init({"params": key}, text, out.style_vector, feats,
                         blend_size, deterministic_noise=True)
@@ -82,8 +82,8 @@ def _build_trainer(gen, gvars, batch, steps=2):
     mvars = dict(mvars)
     mvars["clusters"] = {"initial_state": centers}
 
-    cfg = AttentionTrainConfig(stylegan_size=SIZE, attention_layer=7,
-                               cluster_layer=7, batch_size=batch, step=steps,
+    cfg = AttentionTrainConfig(stylegan_size=SIZE, attention_layer=4,
+                               cluster_layer=4, batch_size=batch, step=steps,
                                work_in_stylespace=True, lr=0.05)
     trainer = AttentionTrainer(
         cfg, generator=gen, gen_vars=gvars, mapper=mapper,
