@@ -184,3 +184,253 @@ void w2e_kmeans_assign(const float* data, int64_t n, int32_t d,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CLIP byte-level BPE tokenizer (openai SimpleTokenizer algorithm).
+// The host passes the *decompressed* merges file contents; ids match the
+// Python implementation in where2edit_tpu/models/clip_tokenizer.py.
+
+#include <map>
+#include <string>
+#include <unordered_map>
+
+namespace bpe {
+
+// code point → UTF-8 string
+std::string cp_to_utf8(int cp) {
+  std::string out;
+  if (cp < 0x80) {
+    out.push_back(static_cast<char>(cp));
+  } else if (cp < 0x800) {
+    out.push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    out.push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+  return out;
+}
+
+struct Tokenizer {
+  std::unordered_map<int, std::string> byte_encoder;  // byte → unicode sym
+  std::unordered_map<std::string, int> encoder;       // bpe symbol → id
+  std::map<std::pair<std::string, std::string>, int> ranks;
+  int sot = 0, eot = 0;
+
+  void build_byte_encoder() {
+    std::vector<int> bs;
+    for (int b = int('!'); b <= int('~'); ++b) bs.push_back(b);
+    for (int b = 0xA1; b <= 0xAC; ++b) bs.push_back(b);
+    for (int b = 0xAE; b <= 0xFF; ++b) bs.push_back(b);
+    std::vector<int> cs(bs.begin(), bs.end());
+    int n = 0;
+    for (int b = 0; b < 256; ++b) {
+      if (std::find(bs.begin(), bs.end(), b) == bs.end()) {
+        bs.push_back(b);
+        cs.push_back(256 + n);
+        ++n;
+      }
+    }
+    for (size_t i = 0; i < bs.size(); ++i)
+      byte_encoder[bs[i]] = cp_to_utf8(cs[i]);
+  }
+
+  void build(const std::string& merges_text) {
+    build_byte_encoder();
+    // parse merges: skip header line; keep lines 1..(49152-256-2)
+    std::vector<std::pair<std::string, std::string>> merges;
+    size_t pos = merges_text.find('\n');
+    size_t line_no = 0;
+    const size_t max_merges = 49152 - 256 - 2;
+    while (pos != std::string::npos && merges.size() < max_merges) {
+      size_t next = merges_text.find('\n', pos + 1);
+      std::string line = merges_text.substr(
+          pos + 1, next == std::string::npos ? std::string::npos
+                                             : next - pos - 1);
+      pos = next;
+      ++line_no;
+      if (line.empty()) continue;
+      size_t sp = line.find(' ');
+      if (sp == std::string::npos) continue;
+      merges.emplace_back(line.substr(0, sp), line.substr(sp + 1));
+    }
+    // vocab: unicode syms, then +</w>, then merges, then specials
+    std::vector<std::string> vocab;
+    {
+      std::vector<std::pair<int, std::string>> ordered;
+      // order must match python bytes_to_unicode().values()
+      std::vector<int> bs;
+      for (int b = int('!'); b <= int('~'); ++b) bs.push_back(b);
+      for (int b = 0xA1; b <= 0xAC; ++b) bs.push_back(b);
+      for (int b = 0xAE; b <= 0xFF; ++b) bs.push_back(b);
+      int n = 0;
+      std::vector<int> cs(bs.begin(), bs.end());
+      for (int b = 0; b < 256; ++b) {
+        if (std::find(bs.begin(), bs.end(), b) == bs.end()) {
+          bs.push_back(b);
+          cs.push_back(256 + n);
+          ++n;
+        }
+      }
+      for (int cp : cs) vocab.push_back(cp_to_utf8(cp));
+    }
+    size_t base = vocab.size();
+    for (size_t i = 0; i < base; ++i) vocab.push_back(vocab[i] + "</w>");
+    for (auto& m : merges) vocab.push_back(m.first + m.second);
+    vocab.push_back("<|startoftext|>");
+    vocab.push_back("<|endoftext|>");
+    for (size_t i = 0; i < vocab.size(); ++i) encoder[vocab[i]] = i;
+    for (size_t i = 0; i < merges.size(); ++i) ranks[merges[i]] = i;
+    sot = encoder["<|startoftext|>"];
+    eot = encoder["<|endoftext|>"];
+  }
+
+  // split a UTF-8 string into unicode symbols (as produced by byte_encoder)
+  static std::vector<std::string> utf8_split(const std::string& s) {
+    std::vector<std::string> out;
+    size_t i = 0;
+    while (i < s.size()) {
+      unsigned char c = s[i];
+      int len = (c < 0x80) ? 1 : (c < 0xE0) ? 2 : (c < 0xF0) ? 3 : 4;
+      out.push_back(s.substr(i, len));
+      i += len;
+    }
+    return out;
+  }
+
+  std::vector<int> bpe_token(const std::string& token_bytes) {
+    // map raw bytes through byte_encoder
+    std::string mapped;
+    for (unsigned char c : token_bytes) mapped += byte_encoder[c];
+    std::vector<std::string> word = utf8_split(mapped);
+    if (word.empty()) return {};
+    word.back() += "</w>";
+    while (word.size() > 1) {
+      int best_rank = INT32_MAX;
+      size_t best_i = 0;
+      for (size_t i = 0; i + 1 < word.size(); ++i) {
+        auto it = ranks.find({word[i], word[i + 1]});
+        if (it != ranks.end() && it->second < best_rank) {
+          best_rank = it->second;
+          best_i = i;
+        }
+      }
+      if (best_rank == INT32_MAX) break;
+      // merge ALL occurrences of this bigram (left-to-right), like python
+      std::vector<std::string> merged;
+      const std::string& a = word[best_i];
+      const std::string& b = word[best_i + 1];
+      for (size_t i = 0; i < word.size();) {
+        if (i + 1 < word.size() && word[i] == a && word[i + 1] == b) {
+          merged.push_back(a + b);
+          i += 2;
+        } else {
+          merged.push_back(word[i]);
+          ++i;
+        }
+      }
+      word = std::move(merged);
+    }
+    std::vector<int> ids;
+    for (auto& w : word) {
+      auto it = encoder.find(w);
+      if (it != encoder.end()) ids.push_back(it->second);
+    }
+    return ids;
+  }
+
+  // CLIP token pattern over lowercased text (ASCII subset, matching the
+  // python implementation's pattern)
+  std::vector<int> encode(const std::string& raw) {
+    // clean: collapse whitespace + lowercase (ASCII)
+    std::string text;
+    bool in_space = true;
+    for (char ch : raw) {
+      if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r') {
+        if (!in_space && !text.empty()) text += ' ';
+        in_space = true;
+      } else {
+        text += static_cast<char>(std::tolower(
+            static_cast<unsigned char>(ch)));
+        in_space = false;
+      }
+    }
+    while (!text.empty() && text.back() == ' ') text.pop_back();
+
+    std::vector<int> ids;
+    size_t i = 0;
+    auto is_alpha = [](char c) { return c >= 'a' && c <= 'z'; };
+    auto is_digit = [](char c) { return c >= '0' && c <= '9'; };
+    while (i < text.size()) {
+      char c = text[i];
+      if (c == ' ') { ++i; continue; }
+      std::string token;
+      if (c == '\'') {
+        // contractions 's 't 're 've 'm 'll 'd
+        static const char* conts[] = {"'s", "'t", "'re", "'ve", "'m",
+                                      "'ll", "'d"};
+        bool matched = false;
+        for (const char* s : conts) {
+          size_t l = strlen(s);
+          if (text.compare(i, l, s) == 0) {
+            token = s;
+            i += l;
+            matched = true;
+            break;
+          }
+        }
+        if (!matched) {
+          // run of "other" chars
+          size_t j = i;
+          while (j < text.size() && text[j] != ' '
+                 && !is_alpha(text[j]) && !is_digit(text[j])) ++j;
+          token = text.substr(i, j - i);
+          i = j;
+        }
+      } else if (is_alpha(c)) {
+        size_t j = i;
+        while (j < text.size() && is_alpha(text[j])) ++j;
+        token = text.substr(i, j - i);
+        i = j;
+      } else if (is_digit(c)) {
+        token = text.substr(i, 1);
+        ++i;
+      } else {
+        size_t j = i;
+        while (j < text.size() && text[j] != ' '
+               && !is_alpha(text[j]) && !is_digit(text[j])) ++j;
+        token = text.substr(i, j - i);
+        i = j;
+      }
+      auto t_ids = bpe_token(token);
+      ids.insert(ids.end(), t_ids.begin(), t_ids.end());
+    }
+    return ids;
+  }
+};
+
+}  // namespace bpe
+
+extern "C" {
+
+void* w2e_bpe_new(const char* merges_data, int64_t merges_len) {
+  auto* tok = new bpe::Tokenizer();
+  tok->build(std::string(merges_data, merges_len));
+  return tok;
+}
+
+void w2e_bpe_free(void* h) { delete static_cast<bpe::Tokenizer*>(h); }
+
+int32_t w2e_bpe_sot(void* h) { return static_cast<bpe::Tokenizer*>(h)->sot; }
+int32_t w2e_bpe_eot(void* h) { return static_cast<bpe::Tokenizer*>(h)->eot; }
+
+int32_t w2e_bpe_encode(void* h, const char* text, int32_t* out,
+                       int32_t max_out) {
+  auto ids = static_cast<bpe::Tokenizer*>(h)->encode(text);
+  int32_t n = std::min<int32_t>(ids.size(), max_out);
+  for (int32_t i = 0; i < n; ++i) out[i] = ids[i];
+  return n;
+}
+
+}  // extern "C"

@@ -47,3 +47,41 @@ def test_native_assign_matches_numpy():
     expect = np.argmin(
         ((data[:, None, :] - centers[None]) ** 2).sum(-1), axis=1)
     np.testing.assert_array_equal(ids, expect)
+
+
+def test_native_bpe_matches_python():
+    """C++ BPE == Python SimpleTokenizer on a synthetic merges vocab."""
+    import os
+    import tempfile
+
+    from where2edit_tpu.models.clip_tokenizer import SimpleTokenizer
+    from where2edit_tpu.utils.native import NativeBPE
+
+    # synthetic merges covering common english bigrams (incl. </w> merges)
+    merges = [
+        "h e", "he l", "hel l", "hell o</w>", "a i", "ai r</w>",
+        "t h", "th e</w>", "w i", "wi t", "wit h</w>", "o n</w>",
+        "g r", "gr e", "gre y</w>", "h a", "ha i", "hai r</w>",
+        "e y", "ey e", "eye s</w>", "n a", "na r", "nar r", "narr o",
+        "narro w</w>",
+    ]
+    text_file = "bpe header\n" + "\n".join(merges)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text_file)
+        path = f.name
+    try:
+        py_tok = SimpleTokenizer(path, use_native=False)
+        assert py_tok.has_vocab
+        cc_tok = NativeBPE(text_file)
+        assert cc_tok.sot == py_tok.sot and cc_tok.eot == py_tok.eot
+        prompts = [
+            "hello grey hair",
+            "a person with narrow eyes",
+            "The AIR, on   THE  hill!",
+            "hair hair hair 123",
+            "punctuation... and, commas's",
+        ]
+        for p in prompts:
+            assert cc_tok.encode(p) == py_tok.encode(p), p
+    finally:
+        os.unlink(path)

@@ -88,7 +88,7 @@ def test_fused_leaky_relu():
                                rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("in_size,out_size", [(7, 16), (16, 7), (8, 8), (32, 13)])
+@pytest.mark.parametrize("in_size,out_size", [(7, 16), (16, 7), (8, 8), (32, 13), (32, 8), (8, 32)])
 def test_interpolate_nearest(in_size, out_size):
     x = rand_nchw(2, 3, in_size, in_size)
     ref = F.interpolate(x, out_size)

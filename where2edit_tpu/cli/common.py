@@ -35,8 +35,8 @@ def build_generator(size: int, ckpt_path: str | None,
                       if latent_avg is not None else None)
     else:
         key = jax.random.PRNGKey(0)
-        variables = gen.init({"params": key, "noise": key},
-                             [jnp.zeros((1, 512))])
+        variables = jax.jit(lambda: gen.init({"params": key, "noise": key},
+                                             [jnp.zeros((1, 512))]))()
         latent_avg = None
     return gen, variables, latent_avg
 

@@ -97,9 +97,10 @@ def load_clip(clip_ckpt: str | None):
     else:
         print("[warn] no CLIP checkpoint — random weights (smoke mode)")
         key = jax.random.PRNGKey(0)
-        clip_vars = clip_model.init(
+        # jit the init: unjitted init is pathologically slow on remote devices
+        clip_vars = jax.jit(lambda: clip_model.init(
             {"params": key}, jnp.zeros((1, 224, 224, 3)),
-            jnp.zeros((1, 77), jnp.int32))
+            jnp.zeros((1, 77), jnp.int32)))()
     return clip_model, clip_vars
 
 

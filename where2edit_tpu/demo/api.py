@@ -78,12 +78,23 @@ class EditSession:
         self.latent = None
         self.feature_map = None
         self.image = None
+        # strength/threshold stay *traced* so slider moves don't recompile
         self._edit = jax.jit(partial(
             one_text_edit, generator=generator, gen_vars=gen_vars,
             mapper=mapper, mapper_vars=mapper_vars,
             attention_layer=attention_layer,
-            work_in_stylespace=work_in_stylespace),
-            static_argnames=("strength_alpha", "attention_threshold"))
+            work_in_stylespace=work_in_stylespace))
+        self._sample_w = jax.jit(
+            lambda key, trunc, mean: self.generator.apply(
+                self.gen_vars,
+                [jax.random.normal(key, (1, 512))], truncation=trunc,
+                truncation_latent=mean, return_latents=True,
+                randomize_noise=False).latent,
+            static_argnums=1)  # generator branches on truncation < 1
+        self._capture_fn = jax.jit(
+            lambda w: self.generator.apply(
+                self.gen_vars, [w], input_is_latent=True,
+                randomize_noise=False, return_features=True))
 
     def load_synthetic(self, key, truncation: float = 0.7,
                        mean_latent: Optional[jnp.ndarray] = None):
@@ -97,21 +108,15 @@ class EditSession:
                         self.gen_vars, k, 4096,
                         method=Generator.mean_latent))(jax.random.PRNGKey(0))
             mean_latent = self._mean_latent
-        z = jax.random.normal(key, (1, 512))
-        out = self.generator.apply(
-            self.gen_vars, [z], truncation=truncation,
-            truncation_latent=mean_latent, return_latents=True,
-            randomize_noise=False)
-        return self._capture(out.latent)
+        wplus = self._sample_w(key, truncation, mean_latent)
+        return self._capture(wplus)
 
     def load_latent(self, wplus: jnp.ndarray):
         """e4e-inverted W+ (try_demo 'Real' mode)."""
         return self._capture(wplus)
 
     def _capture(self, wplus):
-        out = self.generator.apply(
-            self.gen_vars, [wplus], input_is_latent=True,
-            randomize_noise=False, return_features=True)
+        out = self._capture_fn(wplus)
         feats = list(out.feature_map)
         const = self.gen_vars["params"]["input"]["input"]
         feats.append(jnp.broadcast_to(const, (wplus.shape[0],
@@ -132,6 +137,6 @@ class EditSession:
         img, new_lat, amap, _ = self._edit(
             text_features=text, attention_text_features=att,
             latent=self.latent, feature_map=self.feature_map,
-            strength_alpha=strength_alpha,
-            attention_threshold=attention_threshold)
+            strength_alpha=jnp.float32(strength_alpha),
+            attention_threshold=jnp.float32(attention_threshold))
         return img, amap

@@ -58,13 +58,13 @@ def load_session(args):
     else:
         key = jax.random.PRNGKey(0)
         z = jnp.zeros((1, 512))
-        out = gen.apply(gvars, [z], randomize_noise=False,
-                        return_features=True)
+        out = jax.jit(lambda z: gen.apply(gvars, [z], randomize_noise=False,
+                                          return_features=True))(z)
         feats = list(out.feature_map) + [gvars["params"]["input"]["input"]]
-        mvars = mapper.init({"params": key}, jnp.zeros((1, 512)),
-                            out.style_vector, feats,
-                            feats[args.attention_layer - 1].shape[1],
-                            deterministic_noise=True)
+        blend = feats[args.attention_layer - 1].shape[1]
+        mvars = jax.jit(lambda t, s, f: mapper.init(
+            {"params": key}, t, s, f, blend, deterministic_noise=True))(
+            jnp.zeros((1, 512)), out.style_vector, feats)
 
     session = EditSession(
         generator=gen, gen_vars=gvars, mapper=mapper, mapper_vars=mvars,

@@ -29,16 +29,20 @@ class CLIPLoss:
         self.model = clip_model
         self.variables = clip_variables
         self.stylegan_size = stylegan_size
+        import jax  # noqa: PLC0415
+
+        self._encode_image = jax.jit(lambda x: clip_model.apply(
+            clip_variables, x, method=clip_model.encode_image))
+        self._encode_text = jax.jit(lambda t: clip_model.apply(
+            clip_variables, t, method=clip_model.encode_text))
 
     def encode_image(self, image: jnp.ndarray) -> jnp.ndarray:
         """image: raw generator output (B, S, S, 3) in [-1, 1]."""
         x = clip_image_resize(image, self.stylegan_size)
-        return self.model.apply(self.variables, x,
-                                method=self.model.encode_image)
+        return self._encode_image(x)
 
     def encode_text(self, tokens) -> jnp.ndarray:
-        return self.model.apply(self.variables, tokens,
-                                method=self.model.encode_text)
+        return self._encode_text(tokens)
 
     def __call__(self, image: jnp.ndarray, tokens) -> jnp.ndarray:
         x = clip_image_resize(image, self.stylegan_size)

@@ -61,16 +61,26 @@ def _clean(text: str) -> str:
 
 
 class SimpleTokenizer:
-    def __init__(self, bpe_path: str | None = None):
+    def __init__(self, bpe_path: str | None = None, use_native: bool = True):
         bpe_path = bpe_path or os.environ.get("CLIP_BPE_PATH")
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self.has_vocab = bool(bpe_path and os.path.isfile(bpe_path))
+        self._native = None
         if self.has_vocab:
             opener = gzip.open if bpe_path.endswith(".gz") else open
             with opener(bpe_path, "rt", encoding="utf-8") as f:
-                merges = f.read().split("\n")
+                raw_text = f.read()
+            merges = raw_text.split("\n")
             merges = merges[1: 49152 - 256 - 2 + 1]
+            if use_native:
+                try:  # C++ fast path (native/w2e_native.cpp), id-compatible
+                    from where2edit_tpu.utils.native import NativeBPE  # noqa: PLC0415
+
+                    self._native = NativeBPE(
+                        "\n".join(raw_text.split("\n")[:49152 - 256 - 2 + 1]))
+                except Exception:
+                    self._native = None
             merges = [tuple(m.split()) for m in merges]
             vocab = list(bytes_to_unicode().values())
             vocab = vocab + [v + "</w>" for v in vocab]
@@ -129,6 +139,8 @@ class SimpleTokenizer:
         return [h % (VOCAB_SIZE - 2)]
 
     def encode(self, text: str) -> list[int]:
+        if self._native is not None:
+            return self._native.encode(_clean(text))
         ids: list[int] = []
         for token in re.findall(_PAT, _clean(text)):
             if not self.has_vocab:

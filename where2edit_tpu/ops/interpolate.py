@@ -33,13 +33,25 @@ def _nearest_indices(out_size: int, in_size: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("size",))
 def interpolate_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
-    """torch F.interpolate(mode='nearest') on NHWC input."""
+    """torch F.interpolate(mode='nearest') on NHWC input.
+
+    Integer scale factors take gather-free fast paths (strided slice for
+    exact downscale — floor(i·in/out) = i·k — and broadcast-repeat for exact
+    upscale — floor(i·in/out) = i//k); gathers are slow on TPU.
+    """
     if isinstance(size, int):
         size = (size, size)
     oh, ow = size
-    _, h, w, _ = x.shape
+    n, h, w, c = x.shape
     if (oh, ow) == (h, w):
         return x
+    if h % oh == 0 and w % ow == 0:
+        return x[:, :: h // oh, :: w // ow, :]
+    if oh % h == 0 and ow % w == 0:
+        ky, kx = oh // h, ow // w
+        out = jnp.broadcast_to(x[:, :, None, :, None, :],
+                               (n, h, ky, w, kx, c))
+        return out.reshape(n, oh, ow, c)
     iy = _nearest_indices(oh, h)
     ix = _nearest_indices(ow, w)
     return x[:, iy][:, :, ix]

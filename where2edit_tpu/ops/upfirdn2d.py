@@ -170,7 +170,10 @@ def upfirdn2d(x: jnp.ndarray, kernel, up: int = 1, down: int = 1,
     padding = ((pad0, pad1 + up - 1), (pad0, pad1 + up - 1))
     flipped = jnp.asarray(kernel[::-1, ::-1].copy())
 
-    if _is_separable(kernel) and kh > 1 and kw > 1 and (down == 1 or up == 1):
+    import os
+    impl = os.environ.get("W2E_UPFIRDN_IMPL", "shift_add")
+    if (impl == "shift_add" and _is_separable(kernel) and kh > 1 and kw > 1
+            and (down == 1 or up == 1)):
         # kernel = outer(u, v); factor via the dominant singular vectors.
         k = np.asarray(kernel, dtype=np.float64)
         uu, ss, vv = np.linalg.svd(k)

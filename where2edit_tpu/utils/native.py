@@ -45,6 +45,17 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32)]
+    lib.w2e_bpe_new.restype = ctypes.c_void_p
+    lib.w2e_bpe_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.w2e_bpe_free.argtypes = [ctypes.c_void_p]
+    lib.w2e_bpe_sot.restype = ctypes.c_int32
+    lib.w2e_bpe_sot.argtypes = [ctypes.c_void_p]
+    lib.w2e_bpe_eot.restype = ctypes.c_int32
+    lib.w2e_bpe_eot.argtypes = [ctypes.c_void_p]
+    lib.w2e_bpe_encode.restype = ctypes.c_int32
+    lib.w2e_bpe_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_int32),
+                                   ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -70,6 +81,31 @@ def kmeans_fit_native(data: np.ndarray, k: int, *, max_iters: int = 100,
     if iters < 0:
         return None
     return centers, iters
+
+
+class NativeBPE:
+    """C++ CLIP BPE tokenizer (id-compatible with SimpleTokenizer)."""
+
+    def __init__(self, merges_text: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        data = merges_text.encode("utf-8")
+        self._h = lib.w2e_bpe_new(data, len(data))
+        self.sot = lib.w2e_bpe_sot(self._h)
+        self.eot = lib.w2e_bpe_eot(self._h)
+
+    def encode(self, text: str) -> list[int]:
+        out = (ctypes.c_int32 * 512)()
+        n = self._lib.w2e_bpe_encode(self._h, text.encode("utf-8"), out, 512)
+        return list(out[:n])
+
+    def __del__(self):
+        try:
+            self._lib.w2e_bpe_free(self._h)
+        except Exception:
+            pass
 
 
 def kmeans_assign_native(data: np.ndarray, centers: np.ndarray):
