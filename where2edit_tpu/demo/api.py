@@ -85,19 +85,20 @@ class EditSession:
             attention_layer=attention_layer,
             work_in_stylespace=work_in_stylespace))
         self._sample_w = jax.jit(
-            lambda key, trunc, mean: self.generator.apply(
+            lambda key, trunc, mean, batch: self.generator.apply(
                 self.gen_vars,
-                [jax.random.normal(key, (1, 512))], truncation=trunc,
+                [jax.random.normal(key, (batch, 512))], truncation=trunc,
                 truncation_latent=mean, return_latents=True,
                 randomize_noise=False).latent,
-            static_argnums=1)  # generator branches on truncation < 1
+            static_argnums=(1, 3))  # generator branches on truncation < 1
         self._capture_fn = jax.jit(
             lambda w: self.generator.apply(
                 self.gen_vars, [w], input_is_latent=True,
                 randomize_noise=False, return_features=True))
 
     def load_synthetic(self, key, truncation: float = 0.7,
-                       mean_latent: Optional[jnp.ndarray] = None):
+                       mean_latent: Optional[jnp.ndarray] = None,
+                       batch: int = 1):
         """Seeded sample (try_demo 'Syn' mode)."""
         if mean_latent is None:
             if not hasattr(self, "_mean_latent"):
@@ -108,7 +109,7 @@ class EditSession:
                         self.gen_vars, k, 4096,
                         method=Generator.mean_latent))(jax.random.PRNGKey(0))
             mean_latent = self._mean_latent
-        wplus = self._sample_w(key, truncation, mean_latent)
+        wplus = self._sample_w(key, truncation, mean_latent, batch)
         return self._capture(wplus)
 
     def load_latent(self, wplus: jnp.ndarray):
