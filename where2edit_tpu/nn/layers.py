@@ -175,6 +175,37 @@ def _conv_transpose2x(x: jnp.ndarray, w_hwio: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _merge_blur_into_transpose_weight(w_hwio: jnp.ndarray, blur_2d: np.ndarray,
+                                      pad0: int) -> jnp.ndarray:
+    """Compose blur(convT2(x, W)) into a single convT2 kernel.
+
+    z[j] = Σ_t k̃[t]·y[j - pad0 + t] with y = convT2(x, W) gives
+    z[j] = Σ_q x[q]·V[j - 2q] where V[s] = Σ_t k̃[t]·W[s + t - pad0]
+    (k̃ = flipped blur taps — upfirdn performs true convolution). The merged
+    kernel spans k + len(blur) - 1 taps; the caller crops the full convT
+    output by (len(blur) - 1 - pad0) on the low side.
+
+    One conv over the big activations instead of two — the blur's full
+    read+write of the largest tensors in the network disappears.
+    """
+    kb = blur_2d.shape[0]
+    k = w_hwio.shape[0]
+    kf = blur_2d[::-1, ::-1]
+    kk = k + kb - 1
+    # V'[u] = V[u - (kb - 1 - pad0)] supported on u ∈ [0, kk)
+    shift = kb - 1 - pad0
+    out = jnp.zeros((kk, kk, *w_hwio.shape[2:]), w_hwio.dtype)
+    del shift
+    for t1 in range(kb):
+        for t2 in range(kb):
+            # W[wi] with blur tap t lands at u = wi + (kb - 1 - t)
+            o1 = kb - 1 - t1
+            o2 = kb - 1 - t2
+            out = out.at[o1:o1 + k, o2:o2 + k].add(
+                float(kf[t1, t2]) * w_hwio)
+    return out
+
+
 class ModulatedConv2d(fnn.Module):
     """Style-modulated, (optionally) demodulated conv (model.py:179-276).
 
@@ -190,6 +221,7 @@ class ModulatedConv2d(fnn.Module):
     upsample: bool = False
     downsample: bool = False
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    fuse_blur: bool = True  # compose blur into the convT kernel (exact)
 
     @fnn.compact
     def __call__(self, x, style, input_is_stylespace: bool = False):
@@ -218,13 +250,31 @@ class ModulatedConv2d(fnn.Module):
         x = x * (scale * s[:, None, None, :]).astype(x.dtype)
 
         if self.upsample:
-            out = _conv_transpose2x(x, w)
-            if self.demodulate:
-                out = out * demod[:, None, None, :].astype(out.dtype)
             factor = 2
             p = (len(self.blur_kernel) - factor) - (k - 1)
-            pad = ((p + 1) // 2 + factor - 1, p // 2 + 1)
-            out = Blur(self.blur_kernel, pad=pad, upsample_factor=factor)(out)
+            pad0, pad1 = (p + 1) // 2 + factor - 1, p // 2 + 1
+            if self.fuse_blur:
+                # compose the FIR blur into the transposed-conv kernel: one
+                # pass over the (largest-in-network) upsampled activations
+                blur2d = make_kernel(self.blur_kernel) * (factor ** 2)
+                kb = blur2d.shape[0]
+                w_merged = _merge_blur_into_transpose_weight(w, blur2d, pad0)
+                full = _conv_transpose2x(x, w_merged)
+                in_h, in_w = x.shape[1], x.shape[2]
+                z_h = (2 * in_h + k - 2) + pad0 + pad1 - kb + 1
+                z_w = (2 * in_w + k - 2) + pad0 + pad1 - kb + 1
+                start = kb - 1 - pad0
+                out = lax.slice(
+                    full, (0, start, start, 0),
+                    (full.shape[0], start + z_h, start + z_w, full.shape[3]))
+                if self.demodulate:
+                    out = out * demod[:, None, None, :].astype(out.dtype)
+            else:
+                out = _conv_transpose2x(x, w)
+                if self.demodulate:
+                    out = out * demod[:, None, None, :].astype(out.dtype)
+                out = Blur(self.blur_kernel, pad=(pad0, pad1),
+                           upsample_factor=factor)(out)
         elif self.downsample:
             factor = 2
             p = (len(self.blur_kernel) - factor) + (k - 1)
