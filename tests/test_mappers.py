@@ -190,3 +190,22 @@ def test_style_mapper_strength_alpha_demo_twin():
     d1 = np.asarray(out1.latents[0]) - np.asarray(styles[0])
     d2 = np.asarray(out2.latents[0]) - np.asarray(styles[0])
     np.testing.assert_allclose(d2, 2 * d1, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_then_resize_commutes():
+    """1x1 conv ∘ nearest-downsample == nearest-downsample ∘ 1x1 conv."""
+    import jax
+    import jax.numpy as jnp
+
+    from where2edit_tpu.editing.attention_mappers import _conv_then_resize
+    from where2edit_tpu.nn.layers import EqualConv2d
+    from where2edit_tpu.ops.interpolate import interpolate_nearest
+
+    conv = EqualConv2d(8, 4, 1)
+    x = jnp.asarray(RNG.standard_normal((2, 48, 48, 8)).astype(np.float32))
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    bound = lambda f: conv.apply(variables, f)  # noqa: E731
+    ref = interpolate_nearest(bound(x), 12)          # reference order
+    got = _conv_then_resize(bound, x, 12)            # swapped (subsample 1st)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

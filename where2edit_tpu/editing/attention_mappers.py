@@ -127,6 +127,17 @@ def _zero():
     return jnp.zeros(())
 
 
+def _conv_then_resize(conv_fn, feature, size: int):
+    """Apply a POINTWISE (1x1) conv and nearest-resize to ``size`` in the
+    cheaper order. Nearest resize selects pixels, so it commutes exactly
+    with any per-pixel map: for taps larger than the target, subsampling
+    first skips full-resolution conv work (the reference convs at full res
+    then downsamples, run_attention.py:550-551)."""
+    if feature.shape[1] > size:
+        return conv_fn(interpolate_nearest(feature, size))
+    return interpolate_nearest(conv_fn(feature), size)
+
+
 # --------------------------------------------------------------------------
 # building-block mappers (run_attention.py:45-163)
 # --------------------------------------------------------------------------
@@ -290,9 +301,9 @@ class FullSpaceMapperSpatialLin(fnn.Module):
             out.append(MapperConLinNet(self.in_dim, self.latent_dim,
                                        name=f"mapper_{c}")(t, row))
             if c < latent.shape[1] - 1:
-                f = EqualConv2d(dim[c], 32, 1, name=f"attention_{c}")(
-                    feature_map[layer_num[c]])
-                att_feats.append(interpolate_nearest(f, size))
+                att_feats.append(_conv_then_resize(
+                    EqualConv2d(dim[c], 32, 1, name=f"attention_{c}"),
+                    feature_map[layer_num[c]], size))
         delta = jnp.concatenate(out, axis=1)
         loss_delta = jnp.mean(jnp.linalg.norm(delta, axis=-1))
 
@@ -327,13 +338,13 @@ class _FeatAttentionTrunk(fnn.Module):
         tables = attention_tables(self.generator_size, self.channel_multiplier)
         dim = tables["wplus_dims"]
         layer_num = tables["layer_num"]
-        first = EqualConv2d(dim[0], 32, 1, name="attention_first")(
-            feature_map[-1])
-        att_feats = [interpolate_nearest(first, size)]
+        att_feats = [_conv_then_resize(
+            EqualConv2d(dim[0], 32, 1, name="attention_first"),
+            feature_map[-1], size)]
         for c in range(self.layers - 1):
-            f = EqualConv2d(dim[c], 32, 1, name=f"attention_{c}")(
-                feature_map[layer_num[c]])
-            att_feats.append(interpolate_nearest(f, size))
+            att_feats.append(_conv_then_resize(
+                EqualConv2d(dim[c], 32, 1, name=f"attention_{c}"),
+                feature_map[layer_num[c]], size))
         amap = jnp.concatenate(att_feats, axis=-1)
         # reference inits this bias to 5 (run_attention.py:404,478)
         amap = EqualConv2d(32 * self.layers, 1, 1, bias_init=5.0,
@@ -544,9 +555,9 @@ class FullSpaceMapperFEATLinStyle(fnn.Module):
             else:
                 out.append(s)
             if c in layer_num:
-                f = EqualConv2d(tap_ch[c], 32, 1, name=f"attention_{c}")(
-                    feature_map[c])
-                att_feats.append(interpolate_nearest(f, size))
+                att_feats.append(_conv_then_resize(
+                    EqualConv2d(tap_ch[c], 32, 1, name=f"attention_{c}"),
+                    feature_map[c], size))
         amap = jnp.concatenate(att_feats, axis=-1)
         amap = EqualConv2d(32 * (self.layers - 1), 1, 1,
                            name="attention_last")(amap)
@@ -654,6 +665,11 @@ class FullSpaceMapperFEATClusterLinStyle(fnn.Module):
 
         def att_conv(conv, textca, feature, out_ch=32):
             s = textca(attention_text)
+            # 1x1 conv commutes with the nearest resize — subsample first
+            # for taps above the blend resolution (exact; see
+            # _conv_then_resize)
+            if feature.shape[1] > size:
+                feature = interpolate_nearest(feature, size)
             # reference NoiseInjection draws fresh noise even at eval
             # (model.py:285-290); deterministic_noise pins it to zero for
             # reproducible inference/tests.

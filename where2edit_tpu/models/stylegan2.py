@@ -34,6 +34,7 @@ from where2edit_tpu.nn.layers import (
     ResBlock,
     StyledConv,
     ToRGB,
+    depth_to_space,
     pixel_norm,
 )
 from where2edit_tpu.ops.interpolate import interpolate_nearest
@@ -83,6 +84,11 @@ class Generator(fnn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     lr_mlp: float = 0.01
     dtype: jnp.dtype = jnp.float32
+    # run the final N octaves in space-to-depth layout (2x2 blocks folded
+    # into channels): 4x wider channels fill the MXU / (8,128) tiles that
+    # 16-32ch full-res convs waste. Exact (weight transforms), but masked
+    # blending inside the s2d region is unsupported (asserted).
+    s2d_octaves: int = 0
 
     @property
     def log_size(self) -> int:
@@ -263,22 +269,52 @@ class Generator(fnn.Module):
             get = lambda j: latent[j]  # noqa: E731
             step = 3
 
-        for oct_idx in range(len(self.to_rgbs)):
+        n_oct = len(self.to_rgbs)
+        s2d_start = n_oct - min(self.s2d_octaves, n_oct)
+        if blending and self.s2d_octaves > 0:
+            # blend targets must sit below the s2d region (tap index of the
+            # region's first conv is 2 + 3·s2d_start, 1-based)
+            assert attention_layer + 1 < 2 + 3 * s2d_start + 1, (
+                "masked blending inside the s2d octaves is unsupported")
+
+        prev_s2d = False
+        for oct_idx in range(n_oct):
             conv_up = self.convs[2 * oct_idx]
             conv = self.convs[2 * oct_idx + 1]
             to_rgb = self.to_rgbs[oct_idx]
             n1 = noise[1 + 2 * oct_idx]
             n2 = noise[2 + 2 * oct_idx]
+            use_s2d = oct_idx >= s2d_start
 
-            out, s1 = conv_up(out, get(i), noise=n1,
-                              input_is_stylespace=input_is_stylespace)
-            out = tap(out)
-            out, s2 = conv(out, get(i + 1), noise=n2,
-                           input_is_stylespace=input_is_stylespace)
-            out = tap(out)
-            skip, s3 = to_rgb(out, get(i + 2), skip,
-                              input_is_stylespace=input_is_stylespace)
-            skip = tap(skip)
+            if prev_s2d:
+                # hand off between s2d octaves in pixel layout (one cheap
+                # transpose of a mid-resolution tensor)
+                out = depth_to_space(out)
+            prev_s2d = use_s2d
+
+            if use_s2d:
+                out, s1 = conv_up(out, get(i), noise=n1,
+                                  input_is_stylespace=input_is_stylespace,
+                                  s2d_out=True)
+                tap(depth_to_space(out))
+                out, s2 = conv(out, get(i + 1), noise=n2,
+                               input_is_stylespace=input_is_stylespace,
+                               s2d_in=True, s2d_out=True)
+                tap(depth_to_space(out))
+                skip, s3 = to_rgb(out, get(i + 2), skip,
+                                  input_is_stylespace=input_is_stylespace,
+                                  s2d_in=True)
+                skip = tap(skip)
+            else:
+                out, s1 = conv_up(out, get(i), noise=n1,
+                                  input_is_stylespace=input_is_stylespace)
+                out = tap(out)
+                out, s2 = conv(out, get(i + 1), noise=n2,
+                               input_is_stylespace=input_is_stylespace)
+                out = tap(out)
+                skip, s3 = to_rgb(out, get(i + 2), skip,
+                                  input_is_stylespace=input_is_stylespace)
+                skip = tap(skip)
             style_vector.extend([s1, s2, s3])
             i += step
 

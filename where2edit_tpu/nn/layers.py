@@ -206,6 +206,76 @@ def _merge_blur_into_transpose_weight(w_hwio: jnp.ndarray, blur_2d: np.ndarray,
     return out
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(N,H,W,C) → (N,H/b,W/b,b·b·C), channel order (by, bx, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h // block, w // block, block * block * c)
+
+
+def depth_to_space(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    n, h, w, c4 = x.shape
+    c = c4 // (block * block)
+    x = x.reshape(n, h, w, block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h * block, w * block, c)
+
+
+def _upconv6_weight_to_s2d(v6: jnp.ndarray) -> jnp.ndarray:
+    """Merged 6-tap convT kernel (6,6,in,out) → phase conv (3,3,in,4·out).
+
+    z[2i+a] = Σ_q x[q]·V'[2i+a+2-2q] becomes, per phase (a,b), a stride-1
+    SAME conv: K_ab[r] = V'[a + 4 - 2r] (derivation in models docstring).
+    Output channel order (a, b, o) matches space_to_depth.
+    """
+    out_c = v6.shape[3]
+    phases = []
+    for a in range(2):
+        for b in range(2):
+            taps = jnp.stack([
+                jnp.stack([v6[a + 4 - 2 * r1, b + 4 - 2 * r2]
+                           for r2 in range(3)], axis=0)
+                for r1 in range(3)], axis=0)  # (3,3,in,out)
+            phases.append(taps)
+    return jnp.concatenate(phases, axis=-1)  # (3,3,in,4·out)
+
+
+def _conv3_weight_to_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """3x3 SAME conv (3,3,in,out) → s2d-space block conv (3,3,4·in,4·out).
+
+    out[(2i+a)] reads x[2(i+P)+A] with u = 2P + A - a + 1 ∈ [0,3); zeros
+    elsewhere. r = P + 1 is the kernel index in SAME cross-corr form.
+    """
+    in_c, out_c = w.shape[2], w.shape[3]
+    k = jnp.zeros((3, 3, 4 * in_c, 4 * out_c), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for A in range(2):
+                for B in range(2):
+                    for P in range(-1, 2):
+                        for Q in range(-1, 2):
+                            u = 2 * P + A - a + 1
+                            v = 2 * Q + B - b + 1
+                            if not (0 <= u <= 2 and 0 <= v <= 2):
+                                continue
+                            ci = (A * 2 + B) * in_c
+                            co = (a * 2 + b) * out_c
+                            k = k.at[P + 1, Q + 1, ci:ci + in_c,
+                                     co:co + out_c].set(w[u, v])
+    return k
+
+
+def _conv1_weight_to_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv (1,1,in,out) → s2d block-diagonal (1,1,4·in,4·out)."""
+    in_c, out_c = w.shape[2], w.shape[3]
+    k = jnp.zeros((1, 1, 4 * in_c, 4 * out_c), w.dtype)
+    for p in range(4):
+        k = k.at[0, 0, p * in_c:(p + 1) * in_c,
+                 p * out_c:(p + 1) * out_c].set(w[0, 0])
+    return k
+
+
 class ModulatedConv2d(fnn.Module):
     """Style-modulated, (optionally) demodulated conv (model.py:179-276).
 
@@ -224,7 +294,12 @@ class ModulatedConv2d(fnn.Module):
     fuse_blur: bool = True  # compose blur into the convT kernel (exact)
 
     @fnn.compact
-    def __call__(self, x, style, input_is_stylespace: bool = False):
+    def __call__(self, x, style, input_is_stylespace: bool = False,
+                 s2d_in: bool = False, s2d_out: bool = False):
+        """``s2d_in``/``s2d_out``: consume/produce space-to-depth layout
+        (2x2 blocks folded into channels). Low-channel high-resolution
+        octaves run 4x wider and 2x smaller spatially, which fills the MXU
+        and its (8,128) layout tiles; the weight transforms are exact."""
         k = self.kernel_size
         w = self.param(
             "weight", fnn.initializers.normal(1.0),
@@ -247,7 +322,12 @@ class ModulatedConv2d(fnn.Module):
             )
             demod = lax.rsqrt(sigma + 1e-8)
 
-        x = x * (scale * s[:, None, None, :]).astype(x.dtype)
+        s_act = s if not s2d_in else jnp.tile(s, (1, 4))
+        x = x * (scale * s_act[:, None, None, :]).astype(x.dtype)
+
+        if s2d_in or s2d_out:
+            return self._s2d_path(x, w, demod if self.demodulate else None,
+                                  s, s2d_in, s2d_out)
 
         if self.upsample:
             factor = 2
@@ -297,6 +377,41 @@ class ModulatedConv2d(fnn.Module):
 
         return out, s
 
+    def _s2d_path(self, x, w, demod, s, s2d_in: bool, s2d_out: bool):
+        """Space-to-depth execution of the three conv shapes used by the
+        generator's octaves (up-conv, 3x3 conv, 1x1 to_rgb)."""
+        k = self.kernel_size
+        assert s2d_out, "s2d_in without s2d_out is not used"
+        if self.upsample:
+            assert not s2d_in and self.fuse_blur
+            factor = 2
+            p = (len(self.blur_kernel) - factor) - (k - 1)
+            pad0 = (p + 1) // 2 + factor - 1
+            blur2d = make_kernel(self.blur_kernel) * (factor ** 2)
+            v6 = _merge_blur_into_transpose_weight(w, blur2d, pad0)
+            kern = _upconv6_weight_to_s2d(v6)
+            out = lax.conv_general_dilated(
+                x, kern.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        elif k == 3:
+            assert s2d_in
+            kern = _conv3_weight_to_s2d(w)
+            out = lax.conv_general_dilated(
+                x, kern.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        elif k == 1:
+            assert s2d_in
+            kern = _conv1_weight_to_s2d(w)
+            out = lax.conv_general_dilated(
+                x, kern.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            raise NotImplementedError(f"s2d path for kernel {k}")
+        if demod is not None:
+            out = out * jnp.tile(demod, (1, 4))[:, None, None, :].astype(
+                out.dtype)
+        return out, s
+
 
 class NoiseInjection(fnn.Module):
     """x + weight·noise (model.py:279-290). noise: (B,H,W,1) or None.
@@ -339,15 +454,30 @@ class StyledConv(fnn.Module):
     demodulate: bool = True
 
     @fnn.compact
-    def __call__(self, x, style, noise=None, input_is_stylespace: bool = False):
+    def __call__(self, x, style, noise=None, input_is_stylespace: bool = False,
+                 s2d_in: bool = False, s2d_out: bool = False):
         out, s = ModulatedConv2d(
             self.in_channel, self.out_channel, self.kernel_size, self.style_dim,
             demodulate=self.demodulate, upsample=self.upsample,
             blur_kernel=self.blur_kernel, name="conv",
-        )(x, style, input_is_stylespace=input_is_stylespace)
-        out = NoiseInjection(name="noise")(out, noise=noise)
+        )(x, style, input_is_stylespace=input_is_stylespace,
+          s2d_in=s2d_in, s2d_out=s2d_out)
         bias = self.param("activate_bias", fnn.initializers.zeros,
                           (self.out_channel,))
+        if s2d_out:
+            # per-pixel iid noise in s2d layout: one value per phase,
+            # broadcast across the channel block (phase-major order)
+            if noise is None:
+                key = self.make_rng("noise")
+                noise4 = jax.random.normal(
+                    key, (out.shape[0], out.shape[1], out.shape[2], 4),
+                    out.dtype)
+            else:
+                noise4 = space_to_depth(noise).astype(out.dtype)
+            out = NoiseInjection(name="noise")(
+                out, noise=jnp.repeat(noise4, self.out_channel, axis=-1))
+            return fused_leaky_relu(out, jnp.tile(bias, 4)), s
+        out = NoiseInjection(name="noise")(out, noise=noise)
         return fused_leaky_relu(out, bias), s
 
 
@@ -359,10 +489,14 @@ class ToRGB(fnn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
 
     @fnn.compact
-    def __call__(self, x, style, skip=None, input_is_stylespace: bool = False):
+    def __call__(self, x, style, skip=None, input_is_stylespace: bool = False,
+                 s2d_in: bool = False):
         out, s = ModulatedConv2d(
             self.in_channel, 3, 1, self.style_dim, demodulate=False, name="conv"
-        )(x, style, input_is_stylespace=input_is_stylespace)
+        )(x, style, input_is_stylespace=input_is_stylespace,
+          s2d_in=s2d_in, s2d_out=s2d_in)
+        if s2d_in:
+            out = depth_to_space(out)  # rgb is tiny — back to pixels here
         # the RGB skip chain accumulates across every octave — keep it fp32
         # even under a bf16 synthesis policy (3 channels: cost is nil)
         out = out.astype(jnp.float32)
