@@ -155,3 +155,22 @@ def test_pixel_norm():
     x = rand_t(4, 16)
     out_ref = ref.PixelNorm()(x).numpy()
     close(wnn.pixel_norm(jnp.asarray(x.numpy())), out_ref)
+
+
+def test_modulated_conv_fused_blur_parity(monkeypatch):
+    """The TPU-only fused convT+blur form is exact (forced on via env)."""
+    monkeypatch.setenv("W2E_FUSE_BLUR", "1")
+    ref = ref_stylegan2()
+    tmod = ref.ModulatedConv2d(8, 16, 3, 32, upsample=True)
+    x = rand_t(2, 8, 16, 16)
+    style = rand_t(2, 32)
+    out_ref, _ = tmod(x, style)
+    jmod = wnn.ModulatedConv2d(8, 16, 3, 32, upsample=True)
+    params = {
+        "weight": _mod_conv_w(tmod.weight),
+        "modulation": {"weight": _lin_w(tmod.modulation.weight),
+                       "bias": _np(tmod.modulation.bias)},
+    }
+    out, _ = jmod.apply({"params": params}, jnp.asarray(t2j(x, nhwc=True)),
+                        jnp.asarray(style.numpy()))
+    close(out, t2j(out_ref, nhwc=True))

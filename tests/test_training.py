@@ -172,3 +172,24 @@ def test_broadcast_from_first_semantics():
                   mesh=mesh, in_specs=P("data"), out_specs=P("data"))
     out = np.asarray(f(x))
     np.testing.assert_array_equal(out, np.zeros((8, 1)))
+
+
+def test_nan_guard_rolls_back_and_aborts(gen_and_vars):
+    """Failure detection: non-finite losses roll back, then abort."""
+    gen, gvars = gen_and_vars
+    trainer, text = _build_trainer(gen, gvars, batch=2, steps=5)
+
+    calls = {"n": 0}
+    orig = trainer.step_fn
+
+    def poisoned(params, opt_state, step_idx, key, att):
+        p, o, aux, img, amap = orig(params, opt_state, step_idx, key, att)
+        calls["n"] += 1
+        aux = dict(aux)
+        aux["loss"] = jnp.asarray(float("nan"))
+        return p, o, aux, img, amap
+
+    trainer.step_fn = poisoned
+    with pytest.raises(FloatingPointError):
+        trainer.run(text, log_every=1)
+    assert calls["n"] == 3  # three consecutive rejections then abort

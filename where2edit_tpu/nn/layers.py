@@ -18,6 +18,7 @@ the implementation is JAX/NHWC-idiomatic:
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -333,7 +334,12 @@ class ModulatedConv2d(fnn.Module):
             factor = 2
             p = (len(self.blur_kernel) - factor) - (k - 1)
             pad0, pad1 = (p + 1) // 2 + factor - 1, p // 2 + 1
-            if self.fuse_blur:
+            # CPU's dilated-conv path has no fast 6x6 kernel; the fused form
+            # is a TPU optimization (exact either way)
+            use_fused = self.fuse_blur and (
+                jax.default_backend() == "tpu"
+                or os.environ.get("W2E_FUSE_BLUR") == "1")
+            if use_fused:
                 # compose the FIR blur into the transposed-conv kernel: one
                 # pass over the (largest-in-network) upsampled activations
                 blur2d = make_kernel(self.blur_kernel) * (factor ** 2)

@@ -26,9 +26,20 @@ def segment_mean_map(values: jnp.ndarray, segment_ids: jnp.ndarray,
       num_segments: static B*clusters.
     Returns:
       (pooled_map (B,H,W), means (num_segments,), counts (num_segments,))
+
+    For the small segment counts here (batch·clusters), both the reduction
+    and the gather-back are expressed as one-hot matmuls — scatter/gather
+    serialize on TPU, matmuls ride the MXU.
     """
     flat_v = values.reshape(-1).astype(jnp.float32)
     flat_i = segment_ids.reshape(-1)
+    if num_segments <= 512:
+        onehot = jax.nn.one_hot(flat_i, num_segments, dtype=jnp.float32)
+        sums = flat_v @ onehot
+        counts = jnp.sum(onehot, axis=0)
+        means = sums / jnp.maximum(counts, 1.0)
+        pooled = (onehot @ means).reshape(values.shape).astype(values.dtype)
+        return pooled, means, counts
     sums = jax.ops.segment_sum(flat_v, flat_i, num_segments=num_segments)
     counts = jax.ops.segment_sum(
         jnp.ones_like(flat_v), flat_i, num_segments=num_segments

@@ -208,14 +208,35 @@ class AttentionTrainer:
 
     # ------------------------------------------------------------------ run
     def run(self, attention_text_batch: jnp.ndarray,
-            log_every: int = 10, callback: Optional[Callable] = None):
+            log_every: int = 10, callback: Optional[Callable] = None,
+            nan_guard: bool = True):
+        """Training loop with basic failure detection (SURVEY.md §5: the
+        reference has none): on a non-finite loss the step is rejected, the
+        params roll back to the last finite state, and after 3 consecutive
+        rejections the run aborts with a diagnostic."""
         key = jax.random.PRNGKey(self.cfg.seed)
         history = []
+        last_good = (self.mapper_params, self.opt_state)
+        bad_streak = 0
         for i in range(self.cfg.step):
             key, k = jax.random.split(key)
-            self.mapper_params, self.opt_state, aux, img, amap = self.step_fn(
+            new_params, new_opt, aux, img, amap = self.step_fn(
                 self.mapper_params, self.opt_state, jnp.asarray(float(i)), k,
                 attention_text_batch)
+            if nan_guard:
+                loss = float(aux["loss"])
+                if not np.isfinite(loss):
+                    bad_streak += 1
+                    self.mapper_params, self.opt_state = last_good
+                    if bad_streak >= 3:
+                        detail = {name: float(v) for name, v in aux.items()}
+                        raise FloatingPointError(
+                            f"non-finite loss at step {i} ({bad_streak} "
+                            f"consecutive); aux={detail}")
+                    continue
+                bad_streak = 0
+                last_good = (new_params, new_opt)
+            self.mapper_params, self.opt_state = new_params, new_opt
             if i % log_every == 0 or i == self.cfg.step - 1:
                 scal = {name: float(v) for name, v in aux.items()}
                 history.append((i, scal))
