@@ -27,7 +27,7 @@ from where2edit_tpu.editing.attention_mappers import (  # noqa: E402
 from where2edit_tpu.models.stylegan2 import Generator  # noqa: E402
 
 SIZE = 1024
-BATCH = 4
+BATCH = 8
 ATT_LAYER = 13
 BASELINE_PER_CHIP = 50.0 / 8.0
 
