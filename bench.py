@@ -1,16 +1,27 @@
-"""Benchmark: end-to-end 1024² text-driven edits/sec on one chip.
+"""Benchmark suite over the BASELINE.json configs, on one real chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
 
-The measured step is the full serving path — S-space mapper (cluster
-assignment, 18 text-modulated attention convs, region pooling, threshold +
-blur) followed by masked 1024² synthesis — i.e. BASELINE.json config 1/4.
-vs_baseline is measured against the north-star 50 edits/s on v5e-8
-(= 6.25 edits/s/chip).
+Headline (the required 4 keys) = BASELINE config 1, measured honestly: the
+full try_demo-equivalent edit — CLIP ViT-B/32 text encode + e4e inversion of
+a 256² face + feature-capture 1024² synthesis + S-space mapper + masked
+1024² re-synthesis (show_demo/try_demo.py:93-156). "configs" carries the
+other BASELINE.json configs:
+  * synthesis_only_imgs_per_sec        — config 2 (batch z→1024² forward)
+  * interactive_edits_per_sec          — config 4 (session steady state:
+    pre-captured features, mapper + masked synthesis per prompt — what a
+    demo session pays per slider move / new prompt)
+  * e2e_p50_latency_ms                 — config 1 at batch 1 (p50 target)
+  * train_step_per_sec / train_samples_per_sec — config 5 (jitted
+    attention training step: 3×1024² synthesis + CLIP + VGG + backward)
+
+vs_baseline is against the north-star 50 edits/s on v5e-8 (6.25/s/chip).
+Weights are random (zero-egress image) — identical FLOPs/layout to converted
+checkpoints, so throughput carries over.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -18,13 +29,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) or ".")
+
+# persistent compile cache: the six jitted programs here take minutes to
+# build cold over the dev tunnel; cached reruns start timing immediately
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("W2E_JAX_CACHE", "/tmp/w2e_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 from where2edit_tpu.demo.api import one_text_edit  # noqa: E402
 from where2edit_tpu.editing.attention_mappers import (  # noqa: E402
     FullSpaceMapperFEATClusterLinStyle,
 )
+from where2edit_tpu.losses.clip_loss import CLIPLoss  # noqa: E402
+from where2edit_tpu.losses.perceptual import PerceptualLoss  # noqa: E402
+from where2edit_tpu.models.clip_model import CLIP  # noqa: E402
+from where2edit_tpu.models.encoders import Encoder4Editing  # noqa: E402
 from where2edit_tpu.models.stylegan2 import Generator  # noqa: E402
+from where2edit_tpu.models.vgg import Vgg16  # noqa: E402
 
 SIZE = 1024
 BATCH = 8
@@ -32,22 +58,52 @@ ATT_LAYER = 13
 BASELINE_PER_CHIP = 50.0 / 8.0
 
 
+def timeit(fn, *args, reps=3):
+    """Median wall time of fn(*args) (already-compiled jit callable)."""
+    jax.block_until_ready(fn(*args))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
 def main():
-    # bf16 synthesis policy (SSIM(bf16,fp32) > 0.99; fp32 demod + RGB chain)
-    # + space-to-depth final octave (exact; 2x synthesis speedup — the
-    # 1024²x32ch convs run as 512²x128ch and fill the MXU tiles)
-    gen = Generator(size=SIZE, dtype=jnp.bfloat16, s2d_octaves=1)
     key = jax.random.PRNGKey(0)
+    results = {}
+
+    # bf16 synthesis policy (SSIM(bf16,fp32) > 0.99 fp32 demod + RGB chain)
+    # + space-to-depth final octave (exact; the 1024²x32ch convs run as
+    # 512²x128ch and fill the MXU tiles) — serving path
+    gen = Generator(size=SIZE, dtype=jnp.bfloat16, s2d_octaves=1)
     init_z = [jnp.zeros((1, 512))]
     gvars = jax.jit(lambda: gen.init({"params": key, "noise": key}, init_z))()
 
+    # ---------------- config 2: synthesis-only batch forward ----------------
+    N = 10
+
     @jax.jit
-    def synth(z):
+    def synth_loop(zs):
+        def body(i, acc):
+            img = gen.apply(gvars, [zs[i]], randomize_noise=False).image
+            return acc + jnp.mean(img)
+        return jax.lax.fori_loop(0, N, body, 0.0)
+
+    log("config 2: synthesis-only …")
+    zs = jax.random.normal(jax.random.PRNGKey(1), (N, BATCH, 512))
+    dt = timeit(synth_loop, zs) / N
+    results["synthesis_only_imgs_per_sec_per_chip"] = round(BATCH / dt, 2)
+    log(f"  {results['synthesis_only_imgs_per_sec_per_chip']} imgs/s")
+
+    # ---------------- models for the edit paths ----------------
+    @jax.jit
+    def synth_features(z):
         return gen.apply(gvars, [z], randomize_noise=False,
                          return_features=True)
 
-    z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 512))
-    out = jax.block_until_ready(synth(z))
+    z = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 512))
+    out = jax.block_until_ready(synth_features(z))
     feats = list(out.feature_map)
     const = gvars["params"]["input"]["input"]
     feats.append(jnp.broadcast_to(const, (BATCH, *const.shape[1:])))
@@ -55,57 +111,178 @@ def main():
     mapper = FullSpaceMapperFEATClusterLinStyle(
         layers=gen.n_latent, attention_layer=ATT_LAYER,
         cluster_layer=ATT_LAYER, clusters=10, generator_size=SIZE)
-    text = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 512))
+    text0 = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 512))
     blend_size = feats[ATT_LAYER - 1].shape[1]
-    mapper_init = jax.jit(lambda t, s, f: mapper.init(
-        {"params": key}, t, s, f, blend_size, deterministic_noise=True))
-    mvars = dict(mapper_init(text, out.style_vector, feats))
-    mvars["clusters"] = {"initial_state":
-                         jax.random.normal(key, (10, 576))}
+    mvars = dict(jax.jit(lambda t, s, f: mapper.init(
+        {"params": key}, t, s, f, blend_size,
+        deterministic_noise=True))(text0, out.style_vector, feats))
+    mvars["clusters"] = {"initial_state": jax.random.normal(key, (10, 576))}
 
-    @jax.jit
-    def edit(text, styles, feats):
-        img, _, amap, _ = one_text_edit(
-            generator=gen, gen_vars=gvars, mapper=mapper, mapper_vars=mvars,
-            text_features=text, attention_text_features=text,
-            latent=styles, feature_map=feats, attention_layer=ATT_LAYER,
-            work_in_stylespace=True)
-        return img, amap
+    clip_model = CLIP()
+    clip_vars = jax.jit(lambda: clip_model.init(
+        {"params": key}, jnp.zeros((1, 224, 224, 3)),
+        jnp.zeros((1, 77), jnp.int32)))()
 
-    img, _ = jax.block_until_ready(edit(text, out.style_vector, feats))
-    assert img.shape == (BATCH, SIZE, SIZE, 3)
+    e4e = Encoder4Editing(stylegan_size=SIZE)
+    evars = jax.jit(lambda: e4e.init(
+        {"params": key}, jnp.zeros((1, 256, 256, 3))))()
 
-    # timed region: N sequential edits inside ONE program — measures device
-    # throughput rather than the dev-tunnel's per-dispatch RTT (a co-located
-    # serving host pays dispatch once per request stream, not per edit)
-    N = 10
+    # -------- config 1 (staged) + config 4: the edit pipeline --------
+    # The full try_demo edit = text encode → e4e invert → feature-capture
+    # synthesis → mapper+masked synthesis. Each stage is timed as its own
+    # N-iteration loop program (device time, dispatch amortized) and the
+    # per-edit times SUM to the honest end-to-end figure — the stages are
+    # strictly sequential in the reference flow (show_demo/try_demo.py:
+    # 93-156), so no overlap is assumed. One monolithic program would
+    # measure the same device work but takes ~10x longer to compile on this
+    # 1-CPU host.
+    def stage_loop(body_fn):
+        @jax.jit
+        def loop(*args):
+            def body(i, acc):
+                return acc + body_fn(i, *args)
+            return jax.lax.fori_loop(0, N, body, 0.0)
+        return loop
 
-    @jax.jit
-    def edit_loop(texts, styles, feats):
-        def body(i, acc):
+    def build_stages(batch):
+        tokens = jnp.ones((N, batch, 77), jnp.int32)
+        img256 = jax.random.uniform(
+            jax.random.PRNGKey(4), (batch, 256, 256, 3),
+            minval=-1.0, maxval=1.0)
+        wplus0 = jax.random.normal(
+            jax.random.PRNGKey(8), (batch, gen.n_latent, 512))
+        styles_b = [s[:1].repeat(batch, 0) if s.shape[0] != batch else s
+                    for s in out.style_vector]
+        feats_b = [f[:1].repeat(batch, 0) if f.shape[0] != batch else f
+                   for f in feats]
+        texts_b = jax.random.normal(jax.random.PRNGKey(5), (N, batch, 512))
+
+        text_loop = stage_loop(lambda i, tk: jnp.sum(clip_model.apply(
+            clip_vars, tk[i], method=clip_model.encode_text)))
+        invert_loop = stage_loop(lambda i, im: jnp.sum(
+            e4e.apply(evars, im + 1e-4 * i)))
+
+        def capture_body(i, w):
+            cap = gen.apply(gvars, [w + 1e-4 * i], input_is_latent=True,
+                            randomize_noise=False, return_features=True)
+            # consume every tap so the capture pass can't be DCE'd
+            return (jnp.mean(cap.image)
+                    + sum(jnp.mean(f) for f in cap.feature_map)
+                    + sum(jnp.mean(s) for s in cap.style_vector))
+        capture_loop = stage_loop(capture_body)
+
+        def edit_body(i, texts, styles, fm):
             img, _, amap, _ = one_text_edit(
                 generator=gen, gen_vars=gvars, mapper=mapper,
                 mapper_vars=mvars, text_features=texts[i],
                 attention_text_features=texts[i], latent=styles,
-                feature_map=feats, attention_layer=ATT_LAYER,
+                feature_map=fm, attention_layer=ATT_LAYER,
                 work_in_stylespace=True)
-            return acc + jnp.mean(img)
-        return jax.lax.fori_loop(0, N, body, 0.0)
+            return jnp.mean(img) + jnp.mean(amap)
+        edit_loop = stage_loop(edit_body)
 
-    texts = jax.random.normal(jax.random.PRNGKey(3), (N, BATCH, 512))
-    jax.block_until_ready(edit_loop(texts, out.style_vector, feats))
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        jax.block_until_ready(edit_loop(texts, out.style_vector, feats))
-    dt = (time.time() - t0) / (reps * N)
-    edits_per_sec = BATCH / dt
+        stage_args = {
+            "text_encode": (text_loop, (tokens,)),
+            "invert": (invert_loop, (img256,)),
+            "capture": (capture_loop, (wplus0,)),
+            "edit": (edit_loop, (texts_b, styles_b, feats_b)),
+        }
+        return stage_args
 
+    log("config 1: staged e2e edit at batch 8 …")
+    per_edit = {}
+    for name, (loop, largs) in build_stages(BATCH).items():
+        log(f"  stage {name} …")
+        per_edit[name] = timeit(loop, *largs) / N
+        log(f"    {per_edit[name] * 1e3 / BATCH:.2f} ms/edit")
+    e2e_per_sec = BATCH / sum(per_edit.values())
+    results["e2e_edits_per_sec_per_chip"] = round(e2e_per_sec, 2)
+    results["e2e_stage_ms_per_edit_batch8"] = {
+        k: round(v * 1e3 / BATCH, 3) for k, v in per_edit.items()}
+    # config 4 = the steady-state session cost (capture paid once per face)
+    results["interactive_edits_per_sec_per_chip"] = round(
+        BATCH / per_edit["edit"], 2)
+    log(f"  e2e {e2e_per_sec:.2f} edits/s; interactive "
+        f"{results['interactive_edits_per_sec_per_chip']} edits/s")
+
+    log("config 1 at batch 1: p50 latency …")
+    per_edit1 = {}
+    for name, (loop, largs) in build_stages(1).items():
+        per_edit1[name] = timeit(loop, *largs) / N
+    results["e2e_p50_latency_ms_batch1"] = round(
+        sum(per_edit1.values()) * 1e3, 2)
+    log(f"  {results['e2e_p50_latency_ms_batch1']} ms")
+
+    # ---------------- config 5: attention training step ----------------
+    if os.environ.get("W2E_BENCH_SKIP_TRAIN") == "1":
+        log("config 5 skipped (W2E_BENCH_SKIP_TRAIN=1)")
+        emit(results, e2e_per_sec)
+        return
+
+    from where2edit_tpu.train.attention_trainer import (  # noqa: PLC0415
+        AttentionTrainConfig,
+        AttentionTrainer,
+    )
+
+    train_batch = 1  # reference trains batch 1/GPU (train_scripts.sh:2)
+    gen_train = Generator(size=SIZE)  # fp32 training (same params)
+    clip_loss = CLIPLoss(clip_model, clip_vars, SIZE)
+    vgg = Vgg16()
+    vgg_vars = jax.jit(lambda: vgg.init(
+        jax.random.PRNGKey(6), jnp.zeros((1, 224, 224, 3))))()
+    perceptual = PerceptualLoss(vgg, vgg_vars, SIZE)
+
+    z1 = jax.random.normal(key, (train_batch, 512))
+    cap = gen_train.apply(gvars, [z1], randomize_noise=False,
+                          return_features=True)
+    fm = list(cap.feature_map)
+    fm.append(jnp.broadcast_to(const, (train_batch, *const.shape[1:])))
+    t1 = jnp.zeros((train_batch, 512))
+    mvars_t = dict(jax.jit(lambda t, s, f: mapper.init(
+        {"params": key}, t, s, f, fm[ATT_LAYER - 1].shape[1],
+        deterministic_noise=True))(t1, cap.style_vector, fm))
+    mvars_t["clusters"] = {"initial_state":
+                           jax.random.normal(key, (10, 576))}
+
+    cfg = AttentionTrainConfig(
+        stylegan_size=SIZE, attention_layer=ATT_LAYER,
+        cluster_layer=ATT_LAYER, batch_size=train_batch, step=100,
+        work_in_stylespace=True)
+    trainer = AttentionTrainer(
+        cfg, generator=gen_train, gen_vars=gvars, mapper=mapper,
+        mapper_params=mvars_t["params"],
+        encode_image=clip_loss.encode_image, perceptual=perceptual,
+        mean_latent=jnp.zeros((1, 512)),
+        mapper_extra_variables={"clusters": mvars_t["clusters"]})
+
+    log("config 5: training step (3x synthesis + CLIP + VGG + backward) …")
+    bank = jax.random.normal(jax.random.PRNGKey(7), (7, 512))
+
+    def train_once(params, opt_state):
+        return trainer.step_fn(params, opt_state, jnp.asarray(1.0),
+                               jax.random.PRNGKey(8), bank)
+
+    res = jax.block_until_ready(train_once(trainer.mapper_params,
+                                           trainer.opt_state))
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        res = jax.block_until_ready(train_once(res[0], res[1]))
+        ts.append(time.time() - t0)
+    dt = float(np.median(ts))
+    results["train_steps_per_sec_per_chip"] = round(1.0 / dt, 3)
+    results["train_samples_per_sec_per_chip"] = round(train_batch / dt, 3)
+    log(f"  {results['train_steps_per_sec_per_chip']} steps/s")
+    emit(results, e2e_per_sec)
+
+
+def emit(results, e2e_per_sec):
     print(json.dumps({
-        "metric": "1024px_text_edits_per_sec_per_chip",
-        "value": round(edits_per_sec, 2),
+        "metric": "1024px_e2e_edits_per_sec_per_chip",
+        "value": results["e2e_edits_per_sec_per_chip"],
         "unit": "edits/s/chip",
-        "vs_baseline": round(edits_per_sec / BASELINE_PER_CHIP, 3),
+        "vs_baseline": round(e2e_per_sec / BASELINE_PER_CHIP, 3),
+        "configs": results,
     }))
 
 

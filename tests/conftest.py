@@ -22,3 +22,39 @@ if not os.environ.get("W2E_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# Heavy tests (>~15 s each: 64px torch-oracle fixtures, multi-device training
+# steps, CLI pipelines), marked centrally so the quick gate
+# `pytest -m "not slow"` stays <3 min while still covering the numerics.
+SLOW_TESTS = {
+    "test_dp_sharded_serving",
+    "test_psp_composite_random_weights",
+    "test_dp_sharded_step_runs_on_8_devices",
+    "test_dp_step_equals_single_device_global_batch",
+    "test_run_clustering_cli",
+    "test_ssim_vs_reference_256",
+    "test_edit_session_and_one_text_edit",
+    "test_coach_smoke",
+    "test_attention_trainer_smoke",
+    "test_attention_prompt_resampled_per_step",
+    "test_attention_trainer_frozen_attention",
+    "test_bf16_train_step_tracks_fp32",
+    "test_s2d_octaves_exact",
+    "test_s2d_blend_guard",
+    "test_nan_guard_rolls_back_and_aborts",
+    "test_feat_cluster_lin_wplus",
+    "test_feat_cluster_lin_style",
+    "test_inception_shapes_and_converter_roundtrip",
+    "test_style_mapper_strength_alpha_demo_twin",
+    "test_gradual_style_encoder",
+    "test_arcface_backbone",
+    "test_e4e_encoder",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

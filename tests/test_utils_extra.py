@@ -123,6 +123,24 @@ def test_make_cutouts_shapes_and_range():
 
     mc = MakeCutouts(cut_size=16, cutn=3)
     x = jnp.asarray(RNG.random((2, 32, 32, 3)).astype(np.float32))
-    out = mc(jax.random.PRNGKey(0), x)
+    out = jax.jit(mc)(jax.random.PRNGKey(0), x)  # static shapes under jit
     assert out.shape == (6, 16, 16, 3)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_crop_resize_bilinear_identity_and_variable_sizes():
+    """Variable-size crops (utils.py:300-305): identity when size == out
+    at integer offsets; different traced sizes give different crops."""
+    from where2edit_tpu.utils.cutouts import crop_resize_bilinear
+
+    x = jnp.asarray(RNG.random((1, 32, 32, 3)).astype(np.float32))
+    out = crop_resize_bilinear(x, jnp.float32(4), jnp.float32(6),
+                               jnp.float32(16), 16)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x[:, 4:20, 6:22]), atol=1e-6)
+    # a 2x-size crop at the same origin is a genuine downscale, not a slice
+    out2 = crop_resize_bilinear(x, jnp.float32(0), jnp.float32(0),
+                                jnp.float32(32), 16)
+    out3 = crop_resize_bilinear(x, jnp.float32(0), jnp.float32(0),
+                                jnp.float32(16), 16)
+    assert not np.allclose(np.asarray(out2), np.asarray(out3))

@@ -1,0 +1,147 @@
+"""Profile the serving edit step on the real chip and print the op-level
+time breakdown (VERDICT round-1 item 5: profile before optimizing).
+
+Runs the interactive edit (mapper + masked 1024² synthesis) under
+jax.profiler.trace, then parses the generated .trace.json.gz directly —
+no TensorBoard needed — and aggregates device-op self-times by op kind.
+
+    python tools/profile_edit.py [--batch 8] [--what edit|synth|mapper]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from where2edit_tpu.demo.api import one_text_edit  # noqa: E402
+from where2edit_tpu.editing.attention_mappers import (  # noqa: E402
+    FullSpaceMapperFEATClusterLinStyle,
+)
+from where2edit_tpu.models.stylegan2 import Generator  # noqa: E402
+
+
+def build(batch: int, size: int = 1024, att_layer: int = 13,
+          s2d_octaves: int = 1, dtype=jnp.bfloat16):
+    gen = Generator(size=size, dtype=dtype, s2d_octaves=s2d_octaves)
+    key = jax.random.PRNGKey(0)
+    gvars = jax.jit(lambda: gen.init({"params": key, "noise": key},
+                                     [jnp.zeros((1, 512))]))()
+    z = jax.random.normal(jax.random.PRNGKey(1), (batch, 512))
+    out = jax.jit(lambda z: gen.apply(gvars, [z], randomize_noise=False,
+                                      return_features=True))(z)
+    feats = list(out.feature_map)
+    const = gvars["params"]["input"]["input"]
+    feats.append(jnp.broadcast_to(const, (batch, *const.shape[1:])))
+    mapper = FullSpaceMapperFEATClusterLinStyle(
+        layers=gen.n_latent, attention_layer=att_layer,
+        cluster_layer=att_layer, clusters=10, generator_size=size)
+    text = jax.random.normal(jax.random.PRNGKey(2), (batch, 512))
+    blend = feats[att_layer - 1].shape[1]
+    mvars = dict(jax.jit(lambda t, s, f: mapper.init(
+        {"params": key}, t, s, f, blend,
+        deterministic_noise=True))(text, out.style_vector, feats))
+    mvars["clusters"] = {"initial_state": jax.random.normal(key, (10, 576))}
+    return gen, gvars, mapper, mvars, text, out, feats, att_layer
+
+
+def parse_trace(trace_dir: str, top: int = 40):
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        print("no trace found under", trace_dir)
+        return
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device-lane complete events: aggregate by op name
+    by_name = defaultdict(float)
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    device_pids = {pid for pid, name in pid_names.items()
+                   if "TPU" in name or "/device" in name.lower()
+                   or "xla" in name.lower()}
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if device_pids and e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        by_name[name] += e["dur"]
+        total += e["dur"]
+    print(f"\n== top ops by accumulated device time "
+          f"(total {total / 1e3:.2f} ms across reps) ==")
+    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{dur / 1e3:9.3f} ms  {100 * dur / max(total, 1e-9):5.1f}%  "
+              f"{name[:110]}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--what", choices=["edit", "synth", "mapper"],
+                   default="edit")
+    p.add_argument("--s2d", type=int, default=1)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--out", type=str, default="/tmp/w2e_profile")
+    args = p.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/w2e_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    gen, gvars, mapper, mvars, text, out, feats, att = build(
+        args.batch, s2d_octaves=args.s2d)
+
+    if args.what == "edit":
+        @jax.jit
+        def step(text, styles, feats):
+            img, _, amap, _ = one_text_edit(
+                generator=gen, gen_vars=gvars, mapper=mapper,
+                mapper_vars=mvars, text_features=text,
+                attention_text_features=text, latent=styles,
+                feature_map=feats, attention_layer=att,
+                work_in_stylespace=True)
+            return img, amap
+        fn = lambda: step(text, out.style_vector, feats)  # noqa: E731
+    elif args.what == "synth":
+        @jax.jit
+        def step(styles):
+            return gen.apply(gvars, styles, input_is_stylespace=True,
+                             randomize_noise=False).image
+        fn = lambda: step(out.style_vector)  # noqa: E731
+    else:
+        blend = feats[att - 1].shape[1]
+
+        @jax.jit
+        def step(text, styles, feats):
+            return mapper.apply(mvars, text, styles, feats, blend,
+                                train=False, deterministic_noise=True)
+        fn = lambda: step(text, out.style_vector, feats)  # noqa: E731
+
+    jax.block_until_ready(fn())  # compile
+    t0 = time.time()
+    jax.block_until_ready(fn())
+    print(f"[{args.what}] batch={args.batch} s2d={args.s2d}: "
+          f"{(time.time() - t0) * 1e3:.2f} ms/step (incl. dispatch)")
+
+    with jax.profiler.trace(args.out):
+        for _ in range(args.reps):
+            jax.block_until_ready(fn())
+    parse_trace(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,8 +5,10 @@ Design notes
 ------------
 * All image tensors are **NHWC** (TPU-native layout). Converters and the
   torch-parity tests transpose at the boundary.
-* Compute-path code is pure JAX (jit/pjit-able, no Python side effects);
-  Pallas kernels back the hot ops (`where2edit_tpu.ops`).
+* Compute-path code is pure JAX (jit/pjit-able, no Python side effects).
+  XLA fusion covers the hot ops; a Pallas fused modulated-conv kernel
+  (`ops.pallas_kernels`) is available where profiling shows XLA leaving
+  time on the table (see tools/profile_edit.py for the measurement).
 * Multi-chip scaling goes through `jax.sharding.Mesh` + collectives
   (`where2edit_tpu.parallel`), not a rendezvous/NCCL port.
 

@@ -13,6 +13,21 @@ from where2edit_tpu.convert.stylegan2 import convert_generator_params
 from where2edit_tpu.models.stylegan2 import Generator
 
 
+def snapshot_sources(output_dir: str) -> str:
+    """Copy the framework sources into the run dir for reproducibility
+    (the reference copies its scripts per run, run_attention.py:958-960)."""
+    import shutil  # noqa: PLC0415
+
+    import where2edit_tpu  # noqa: PLC0415
+
+    pkg_root = os.path.dirname(os.path.abspath(where2edit_tpu.__file__))
+    code_dir = os.path.join(output_dir, "code", "where2edit_tpu")
+    shutil.copytree(
+        pkg_root, code_dir, dirs_exist_ok=True,
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "*.so"))
+    return code_dir
+
+
 def load_torch_state(path: str):
     """torch.load without needing CUDA; returns the raw object."""
     import torch  # noqa: PLC0415
@@ -21,10 +36,17 @@ def load_torch_state(path: str):
 
 
 def build_generator(size: int, ckpt_path: str | None,
-                    channel_multiplier: int = 2):
+                    channel_multiplier: int = 2,
+                    dtype: jnp.dtype = jnp.float32, s2d_octaves: int = 0):
     """Generator + variables (converted from a rosinality checkpoint when
-    given, random init otherwise) + mean latent helper."""
-    gen = Generator(size=size, channel_multiplier=channel_multiplier)
+    given, random init otherwise) + mean latent helper.
+
+    ``dtype=jnp.bfloat16`` is the train-time AMP analogue (reference opt-in
+    --amp, run_attention.py:1068-1069): synthesis activations run in bf16
+    while params, demodulation and the RGB chain stay fp32.
+    """
+    gen = Generator(size=size, channel_multiplier=channel_multiplier,
+                    dtype=dtype, s2d_octaves=s2d_octaves)
     if ckpt_path and os.path.isfile(ckpt_path):
         ckpt = load_torch_state(ckpt_path)
         sd = ckpt.get("g_ema", ckpt)

@@ -66,6 +66,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--image_interval", type=int, default=100)
     p.add_argument("--save_interval", type=int, default=None)
     p.add_argument("--val_interval", type=int, default=2000)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 synthesis during training (losses stay fp32)")
     return p
 
 
@@ -77,8 +79,9 @@ def main(argv=None):
     with open(os.path.join(args.exp_dir, "opt.json"), "w") as f:
         json.dump(vars(args), f, indent=4, sort_keys=True)
 
-    gen, gvars, latent_avg = build_generator(args.stylegan_size,
-                                             args.stylegan_weights)
+    gen, gvars, latent_avg = build_generator(
+        args.stylegan_size, args.stylegan_weights,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     key = jax.random.PRNGKey(0)
     if latent_avg is None:
         latent_avg = mean_latent(gen, gvars, key)

@@ -27,6 +27,7 @@ from where2edit_tpu.cli.common import (
     load_cluster_centers,
     load_torch_state,
     mean_latent,
+    snapshot_sources,
 )
 from where2edit_tpu.convert.clip import convert_clip_params
 from where2edit_tpu.editing.attention_mappers import (
@@ -85,6 +86,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--seed", type=int, default=200)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 synthesis during training (losses/demod stay "
+                        "fp32) — the reference's opt-in --amp analogue "
+                        "(run_attention.py:1068-1069)")
     return p
 
 
@@ -113,6 +118,7 @@ def main(argv=None):
     exp_name = args.description.replace(" ", "-") + "-" + stamp
     output_dir = os.path.join(args.results_dir, "outputs", exp_name)
     os.makedirs(output_dir, exist_ok=True)
+    snapshot_sources(output_dir)
     sys.stdout = Logger(sys.stdout, os.path.join(output_dir, "run.log"))
     metrics = MetricsWriter(os.path.join(args.results_dir, "logs", exp_name))
     print("--------args----------")
@@ -124,8 +130,9 @@ def main(argv=None):
                          rng)
     phrases = corpus.phrases or [args.description]
 
-    gen, gvars, _ = build_generator(args.stylegan_size, args.ckpt,
-                                    args.channel_multiplier)
+    gen, gvars, _ = build_generator(
+        args.stylegan_size, args.ckpt, args.channel_multiplier,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     key, k = jax.random.split(key)
     mean_w = mean_latent(gen, gvars, k)
 
@@ -217,11 +224,68 @@ def main(argv=None):
         mapper_extra_variables={k_: v for k_, v in mvars.items()
                                 if k_ not in ("params",)})
 
-    # per-step attention text: random fixed region prompt, row-0 broadcast
-    att_tokens = jnp.asarray(tokenize(
-        [ATTENTION_PROMPTS[rng.randrange(len(ATTENTION_PROMPTS))]
-         for _ in range(b)]))
-    att_text = clip_loss.encode_text(att_tokens)
+    # region-prompt bank: CLIP-encode all fixed prompts ONCE; the jitted
+    # step re-samples one per step + row-0 broadcast, so a trained run sees
+    # every region prompt (reference re-encodes per step,
+    # run_attention.py:1134-1144 — precompute + gather is strictly cheaper)
+    att_bank = clip_loss.encode_text(
+        jnp.asarray(tokenize(list(ATTENTION_PROMPTS))))
+
+    # --- own-phrase eval renderer (run_attention.py:1436-1474,1481-1537) ---
+    phrases_own = corpus.phrases_own
+    own_text_feats = (clip_loss.encode_text(jnp.asarray(tokenize(phrases_own)))
+                      if phrases_own else None)
+
+    def render_one(mparams, extra, text, latents, feats_in):
+        """Edit `latents` with one phrase (mapper defaults: in-forward
+        ST-threshold + blur, run_attention.py:882-884; no demo threshold)."""
+        variables = {"params": mparams, **extra}
+        blend = feats_in[args.attention_layer - 1].shape[1]
+        if args.work_in_stylespace:
+            mo = mapper.apply(variables, text, latents, feats_in, blend,
+                              train=False, deterministic_noise=True)
+            gen_in = mo.latents
+            kw = dict(input_is_latent=False, input_is_stylespace=True)
+        else:
+            mo = mapper.apply(variables, text, latents, feats_in, blend,
+                              train=False)
+            gen_in = [latents + mo.latents]
+            kw = dict(input_is_latent=True)
+        g = gen.apply(gvars, gen_in, randomize_noise=False,
+                      attention_layer=args.attention_layer,
+                      attention_map=mo.attention_map,
+                      feature_map=feats_in, **kw)
+        return g.image, mo.attention_map
+
+    render_one = jax.jit(render_one)
+
+    def sample_eval_inputs(k, batch):
+        """Fresh truncated sample + feature taps (run_attention.py:1492-1512)."""
+        z_ev = jax.random.normal(k, (batch, 512))
+        w_ev = gen.apply(gvars, [z_ev], truncation=args.truncation,
+                         truncation_latent=mean_w, return_latents=True,
+                         randomize_noise=False).latent
+        out_ev = gen.apply(gvars, [w_ev], input_is_latent=True,
+                           randomize_noise=False, return_features=True)
+        f_ev = list(out_ev.feature_map)
+        f_ev.append(jnp.broadcast_to(const, (batch, *const.shape[1:])))
+        lat_ev = out_ev.style_vector if args.work_in_stylespace else w_ev
+        return out_ev.image, lat_ev, f_ev
+
+    def render_phrase_sweep(latents, feats_in, batch):
+        """One (edited-img, attention) pair per own phrase."""
+        imgs, amaps = [], []
+        for p in range(own_text_feats.shape[0]):
+            text = jnp.broadcast_to(own_text_feats[p:p + 1], (batch, 512))
+            img_p, amap_p = render_one(trainer.mapper_params,
+                                       trainer.mapper_variables_extra,
+                                       text, latents, feats_in)
+            imgs.append(np.asarray(img_p))
+            amaps.append(np.asarray(amap_p))
+        return np.concatenate(imgs), np.concatenate(amaps)
+
+    key, k = jax.random.split(key)
+    eval_img, eval_latents, eval_feats = sample_eval_inputs(k, 1)
 
     video_path = os.path.join(output_dir, "video.txt")
     video_f = open(video_path, "w")
@@ -236,23 +300,45 @@ def main(argv=None):
                 {"mapper": trainer.mapper_params,
                  **trainer.mapper_variables_extra},
                 opts=vars(args))
-            save_image_grid(np.asarray(img),
+            if own_text_feats is not None:
+                # periodic own-phrase eval grid (run_attention.py:1436-1474):
+                # one row per phrase, fixed eval face
+                imgs, amaps = render_phrase_sweep(eval_latents, eval_feats, 1)
+            else:
+                imgs, amaps = np.asarray(img), np.asarray(amap)
+            save_image_grid(imgs,
                             os.path.join(output_dir, f"{i + 1:05d}.jpg"),
-                            nrow=b, scale_each=True)
-            save_image_grid(np.asarray(amap),
+                            nrow=max(b, 1), scale_each=True)
+            save_image_grid(amaps,
                             os.path.join(output_dir,
                                          f"attention{i + 1:05d}.jpg"),
-                            nrow=b, value_range=(0, 1))
+                            nrow=max(b, 1), value_range=(0, 1))
             video_f.write(f"file ./{i + 1:05d}.jpg\nduration 0.2\n")
         print(f"step {i}: " + "; ".join(f"{k_}={v:.4f}"
                                         for k_, v in scal.items()))
 
-    trainer.run(att_text, log_every=1, callback=callback)
+    trainer.run(att_bank, log_every=1, callback=callback)
     video_f.close()
 
     save_checkpoint(os.path.join(output_dir, "final_mapper"),
                     {"mapper": trainer.mapper_params,
                      **trainer.mapper_variables_extra}, opts=vars(args))
+
+    if own_text_feats is not None:
+        # final sweep (run_attention.py:1481-1537): originals row + one row
+        # of edits per own phrase over a fresh batch, plus attention grid
+        save_batch = max(1, min(4, 2 * b))
+        key, k = jax.random.split(key)
+        f_img, f_lat, f_feats = sample_eval_inputs(k, save_batch)
+        imgs, amaps = render_phrase_sweep(f_lat, f_feats, save_batch)
+        final = np.concatenate([np.asarray(f_img), imgs])
+        save_image_grid(final, os.path.join(output_dir, "final_result.jpg"),
+                        nrow=save_batch, scale_each=True)
+        save_image_grid(amaps,
+                        os.path.join(output_dir, "final_attention.jpg"),
+                        nrow=save_batch, value_range=(0, 1),
+                        scale_each=True)
+
     print(f"done → {output_dir}")
     return output_dir
 

@@ -1,5 +1,6 @@
 """openai CLIP (ViT-B/32) state dict → flax params (models.clip_model.CLIP)."""
 
+from where2edit_tpu.convert.irse import _stack_tree
 from where2edit_tpu.convert.stylegan2 import _lin_w, _np
 
 
@@ -25,8 +26,10 @@ def _block(sd, prefix):
 
 
 def _transformer(sd, prefix, layers):
-    return {f"block_{i}": _block(sd, f"{prefix}.resblocks.{i}")
-            for i in range(layers)}
+    """Blocks stack along axis 0 for the nn.scan Transformer
+    (models/clip_model.py)."""
+    return {"blocks": {"blk": _stack_tree(
+        [_block(sd, f"{prefix}.resblocks.{i}") for i in range(layers)])}}
 
 
 def convert_clip_params(state_dict: dict, vision_layers: int = 12,

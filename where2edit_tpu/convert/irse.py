@@ -22,8 +22,49 @@ def _bn(sd: dict, prefix: str, affine: bool = True):
     return params, stats
 
 
-def _body_params(sd: dict, num_layers: int, mode: str):
-    """input_layer + body.{i} → IRSEBody tree. Returns (params, batch_stats)."""
+def _one_block(sd: dict, idx: int, spec, mode: str):
+    """body.{idx} torch block → (params, batch_stats) for BottleneckIR."""
+    bp: dict = {}
+    bs: dict = {}
+    if spec.in_channel != spec.depth:
+        bp["shortcut_conv"] = {
+            "weight": _conv_w(sd[f"body.{idx}.shortcut_layer.0.weight"])}
+        p, s = _bn(sd, f"body.{idx}.shortcut_layer.1")
+        bp["shortcut_bn"], bs["shortcut_bn"] = p, s
+    p, s = _bn(sd, f"body.{idx}.res_layer.0")
+    bp["bn1"], bs["bn1"] = p, s
+    bp["conv1"] = {"weight": _conv_w(sd[f"body.{idx}.res_layer.1.weight"])}
+    bp["prelu"] = {"alpha": _np(sd[f"body.{idx}.res_layer.2.weight"])}
+    bp["conv2"] = {"weight": _conv_w(sd[f"body.{idx}.res_layer.3.weight"])}
+    p, s = _bn(sd, f"body.{idx}.res_layer.4")
+    bp["bn2"], bs["bn2"] = p, s
+    if mode == "ir_se":
+        bp["se"] = {
+            "fc1": {"weight": _conv_w(sd[f"body.{idx}.res_layer.5.fc1.weight"])},
+            "fc2": {"weight": _conv_w(sd[f"body.{idx}.res_layer.5.fc2.weight"])},
+        }
+    return bp, bs
+
+
+def _stack_tree(trees: list) -> dict:
+    """Stack a list of identically-shaped nested dicts along a new axis 0
+    (the nn.scan parameter layout)."""
+    out: dict = {}
+    for k, v in trees[0].items():
+        if isinstance(v, dict):
+            out[k] = _stack_tree([t[k] for t in trees])
+        else:
+            out[k] = np.stack([t[k] for t in trees])
+    return out
+
+
+def _body_params(sd: dict, num_layers: int, mode: str, scanned: bool = True):
+    """input_layer + body.{i} → IRSEBody tree. Returns (params, batch_stats).
+
+    ``scanned``: stage tails are stacked along axis 0 for the nn.scan trunk
+    (models/irse.py::IRSEBody); pass False for the unrolled fallback layout
+    (want_taps with num_layers != 50).
+    """
     params: dict = {"input_conv": {"weight": _conv_w(sd["input_layer.0.weight"])}}
     stats: dict = {}
     p, s = _bn(sd, "input_layer.1")
@@ -31,30 +72,25 @@ def _body_params(sd: dict, num_layers: int, mode: str):
     params["input_prelu"] = {"alpha": _np(sd["input_layer.2.weight"])}
 
     idx = 0
-    for block in get_blocks(num_layers):
-        for spec in block:
-            name = f"body_{idx}"
-            bp: dict = {}
-            bs: dict = {}
-            if spec.in_channel != spec.depth:
-                bp["shortcut_conv"] = {
-                    "weight": _conv_w(sd[f"body.{idx}.shortcut_layer.0.weight"])}
-                p, s = _bn(sd, f"body.{idx}.shortcut_layer.1")
-                bp["shortcut_bn"], bs["shortcut_bn"] = p, s
-            p, s = _bn(sd, f"body.{idx}.res_layer.0")
-            bp["bn1"], bs["bn1"] = p, s
-            bp["conv1"] = {"weight": _conv_w(sd[f"body.{idx}.res_layer.1.weight"])}
-            bp["prelu"] = {"alpha": _np(sd[f"body.{idx}.res_layer.2.weight"])}
-            bp["conv2"] = {"weight": _conv_w(sd[f"body.{idx}.res_layer.3.weight"])}
-            p, s = _bn(sd, f"body.{idx}.res_layer.4")
-            bp["bn2"], bs["bn2"] = p, s
-            if mode == "ir_se":
-                bp["se"] = {
-                    "fc1": {"weight": _conv_w(sd[f"body.{idx}.res_layer.5.fc1.weight"])},
-                    "fc2": {"weight": _conv_w(sd[f"body.{idx}.res_layer.5.fc2.weight"])},
-                }
-            params[name], stats[name] = bp, bs
+    for si, block in enumerate(get_blocks(num_layers)):
+        if scanned:
+            head, tail = block[0], block[1:]
+            bp, bs = _one_block(sd, idx, head, mode)
+            params[f"body_{idx}"], stats[f"body_{idx}"] = bp, bs
             idx += 1
+            if tail:
+                pairs = [_one_block(sd, idx + j, spec, mode)
+                         for j, spec in enumerate(tail)]
+                params[f"stage{si}_tail"] = {
+                    "blk": _stack_tree([p_ for p_, _ in pairs])}
+                stats[f"stage{si}_tail"] = {
+                    "blk": _stack_tree([s_ for _, s_ in pairs])}
+                idx += len(tail)
+        else:
+            for spec in block:
+                bp, bs = _one_block(sd, idx, spec, mode)
+                params[f"body_{idx}"], stats[f"body_{idx}"] = bp, bs
+                idx += 1
     return params, stats
 
 
@@ -99,15 +135,23 @@ def convert_encoder_params(state_dict: dict, stylegan_size: int = 1024,
     import math
 
     sd = dict(state_dict)
-    body_p, body_s = _body_params(sd, num_layers, mode)
+    # encoders take FPN taps: the scan layout covers taps for the 50-layer
+    # table only (models/irse.py::IRSEBody docstring)
+    body_p, body_s = _body_params(sd, num_layers, mode,
+                                  scanned=(num_layers == 50))
     params: dict = {"body": body_p}
     stats: dict = {"body": body_s}
 
     style_count = 2 * int(math.log2(stylegan_size)) - 2
     if kind in ("gradual", "e4e"):
-        for i in range(style_count):
-            spatial = 16 if i < 3 else (32 if i < 7 else 64)
-            params[f"style_{i}"] = _style_block(sd, f"styles.{i}", spatial)
+        # three vmapped groups (models/encoders.py::_style_groups): stack
+        # the per-index torch blocks along axis 0
+        groups = {"styles_coarse": (range(0, 3), 16),
+                  "styles_middle": (range(3, 7), 32),
+                  "styles_fine": (range(7, style_count), 64)}
+        for name, (idxs, spatial) in groups.items():
+            params[name] = _stack_tree(
+                [_style_block(sd, f"styles.{i}", spatial) for i in idxs])
         for name in ("latlayer1", "latlayer2"):
             params[name] = {"weight": _conv_w(sd[f"{name}.weight"]),
                             "bias": _np(sd[f"{name}.bias"])}

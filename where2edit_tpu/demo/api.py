@@ -78,12 +78,19 @@ class EditSession:
         self.latent = None
         self.feature_map = None
         self.image = None
-        # strength/threshold stay *traced* so slider moves don't recompile
-        self._edit = jax.jit(partial(
-            one_text_edit, generator=generator, gen_vars=gen_vars,
-            mapper=mapper, mapper_vars=mapper_vars,
-            attention_layer=attention_layer,
-            work_in_stylespace=work_in_stylespace))
+        # strength/threshold stay *traced* so slider moves don't recompile.
+        # Only (img, latents, map) leave the program — the edited feature
+        # taps would otherwise be materialized as outputs (26 tensors up to
+        # 1024²) on every slider move; dropping them here lets XLA DCE the
+        # tap collection entirely.
+        def _edit_fn(**kw):
+            img, new_lat, amap, _ = one_text_edit(
+                generator=generator, gen_vars=gen_vars, mapper=mapper,
+                mapper_vars=mapper_vars, attention_layer=attention_layer,
+                work_in_stylespace=work_in_stylespace, **kw)
+            return img, new_lat, amap
+
+        self._edit = jax.jit(_edit_fn)
         self._sample_w = jax.jit(
             lambda key, trunc, mean, batch: self.generator.apply(
                 self.gen_vars,
@@ -135,7 +142,7 @@ class EditSession:
         text = self.clip_encode_text(prompt_tokens)
         att = (self.clip_encode_text(attention_tokens)
                if attention_tokens is not None else text)
-        img, new_lat, amap, _ = self._edit(
+        img, new_lat, amap = self._edit(
             text_features=text, attention_text_features=att,
             latent=self.latent, feature_map=self.feature_map,
             strength_alpha=jnp.float32(strength_alpha),

@@ -532,8 +532,11 @@ class FullSpaceMapperFEATLinStyle(fnn.Module):
     @fnn.compact
     def __call__(self, text_features, styles: Sequence[jnp.ndarray],
                  feature_map, size: int, train: bool = False,
-                 attention_text=None) -> MapperOutput:
-        del text_features  # deltas are style-only in this variant (ref :671)
+                 attention_text=None,
+                 deterministic_noise: bool = False) -> MapperOutput:
+        # deterministic_noise accepted for API uniformity with the cluster
+        # variant (this net draws no noise)
+        del text_features, deterministic_noise  # deltas are style-only (ref :671)
         tables = attention_tables(self.generator_size, self.channel_multiplier)
         dim = tables["stylespace_dims"]
         tap_ch = tables["tap_channels"]

@@ -58,16 +58,32 @@ class _EncoderBase(fnn.Module):
     def _trunk(self, x):
         return IRSEBody(self.num_layers, self.mode, name="body")(x, want_taps=True)
 
-    def _style_blocks(self):
-        blocks = []
-        for i in range(self.style_count):
-            if i < self.coarse_ind:
-                blocks.append(GradualStyleBlock(512, 512, 16, name=f"style_{i}"))
-            elif i < self.middle_ind:
-                blocks.append(GradualStyleBlock(512, 512, 32, name=f"style_{i}"))
-            else:
-                blocks.append(GradualStyleBlock(512, 512, 64, name=f"style_{i}"))
-        return blocks
+    def _style_groups(self, c3, p2_fn, p1_fn):
+        """Apply the 18 GradualStyleBlocks as THREE vmapped groups.
+
+        Every block within a group reads the same FPN level
+        (psp_encoders.py:84-91), so the group runs as ONE batched conv
+        stack over stacked params (fnn.vmap) instead of N sequential tiny
+        convs — fewer HLO ops and better MXU occupancy, identical numerics.
+        p2/p1 are thunks so the FPN merge order matches the reference
+        (latlayer1 before the middle group, latlayer2 before fine).
+        Returns (coarse, middle, fine) with shapes (n_g, B, 512).
+        """
+        def group(n, spatial, name, feat):
+            V = fnn.vmap(GradualStyleBlock,
+                         variable_axes={"params": 0},
+                         split_rngs={"params": True},
+                         in_axes=None, out_axes=0, axis_size=n)
+            return V(512, 512, spatial, name=name)(feat)
+
+        coarse = group(self.coarse_ind, 16, "styles_coarse", c3)
+        p2 = p2_fn()
+        middle = group(self.middle_ind - self.coarse_ind, 32,
+                       "styles_middle", p2)
+        p1 = p1_fn(p2)
+        fine = group(self.style_count - self.middle_ind, 64,
+                     "styles_fine", p1)
+        return coarse, middle, fine
 
 
 class GradualStyleEncoder(_EncoderBase):
@@ -77,14 +93,13 @@ class GradualStyleEncoder(_EncoderBase):
     def __call__(self, x):
         _, taps = self._trunk(x)
         c1, c2, c3 = taps[6], taps[20], taps[23]
-        styles = self._style_blocks()
-
-        latents = [styles[j](c3) for j in range(self.coarse_ind)]
-        p2 = _upsample_add(c3, Conv(256, 512, 1, name="latlayer1")(c2))
-        latents += [styles[j](p2) for j in range(self.coarse_ind, self.middle_ind)]
-        p1 = _upsample_add(p2, Conv(128, 512, 1, name="latlayer2")(c1))
-        latents += [styles[j](p1) for j in range(self.middle_ind, self.style_count)]
-        return jnp.stack(latents, axis=1)
+        coarse, middle, fine = self._style_groups(
+            c3,
+            lambda: _upsample_add(c3, Conv(256, 512, 1, name="latlayer1")(c2)),
+            lambda p2: _upsample_add(p2, Conv(128, 512, 1,
+                                              name="latlayer2")(c1)))
+        # (n, B, 512) groups → (B, style_count, 512)
+        return jnp.concatenate([coarse, middle, fine], axis=0).transpose(1, 0, 2)
 
 
 class Encoder4Editing(_EncoderBase):
@@ -95,23 +110,18 @@ class Encoder4Editing(_EncoderBase):
     def __call__(self, x):
         _, taps = self._trunk(x)
         c1, c2, c3 = taps[6], taps[20], taps[23]
-        styles = self._style_blocks()
-
-        w0 = styles[0](c3)
-        rows = [w0]
-        features = c3
-        p2 = None
-        for i in range(1, self.style_count):
-            if i < min(self.progressive_stage + 1, self.style_count):
-                if i == self.coarse_ind:
-                    p2 = _upsample_add(c3, Conv(256, 512, 1, name="latlayer1")(c2))
-                    features = p2
-                elif i == self.middle_ind:
-                    p1 = _upsample_add(p2, Conv(128, 512, 1, name="latlayer2")(c1))
-                    features = p1
-                rows.append(w0 + styles[i](features))
-            else:
-                rows.append(w0)
+        coarse, middle, fine = self._style_groups(
+            c3,
+            lambda: _upsample_add(c3, Conv(256, 512, 1, name="latlayer1")(c2)),
+            lambda p2: _upsample_add(p2, Conv(128, 512, 1,
+                                              name="latlayer2")(c1)))
+        deltas = jnp.concatenate([coarse, middle, fine], axis=0)  # (n, B, 512)
+        w0 = deltas[0]
+        # progressive gating (psp_encoders.py:173-200): rows past the active
+        # stage stay at w0; the stage is static so this is trace-time select
+        limit = min(self.progressive_stage + 1, self.style_count)
+        rows = [w0] + [w0 + deltas[i] if i < limit else w0
+                       for i in range(1, self.style_count)]
         return jnp.stack(rows, axis=1)
 
 

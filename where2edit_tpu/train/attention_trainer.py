@@ -89,8 +89,16 @@ class AttentionTrainer:
     def __init__(self, cfg: AttentionTrainConfig, *, generator, gen_vars,
                  mapper, mapper_params, encode_image: Callable,
                  perceptual: Callable, mean_latent: jnp.ndarray,
-                 mapper_extra_variables: Optional[dict] = None):
+                 mapper_extra_variables: Optional[dict] = None,
+                 mesh=None):
         self.cfg = cfg
+        # optional jax.sharding.Mesh with a "data" axis: the sampled batch is
+        # sharding-constrained over it, so XLA lays every batch-dim tensor
+        # out DP-style and inserts the ICI collectives (the reference's
+        # NCCL DDP + GatherLayer, run_attention.py:913-945,1312-1318).
+        # Params stay replicated. Numerically this IS the single-device
+        # global-batch step (tests/test_training.py proves it).
+        self.mesh = mesh
         self.mapper_variables_extra = dict(mapper_extra_variables or {})
         self.generator = generator
         self.gen_vars = gen_vars
@@ -144,20 +152,44 @@ class AttentionTrainer:
         return new_latents, out
 
     # ----------------------------------------------------------------- step
-    def _step(self, mapper_params, opt_state, step_idx, key, attention_text):
+    def _step(self, mapper_params, opt_state, step_idx, key,
+              attention_text_bank):
+        """One training step.
+
+        ``attention_text_bank`` is a (K, D) table of CLIP encodings of the K
+        fixed region prompts (run_attention.py:1134 — re-sampled and
+        re-encoded *every step* in the reference). A fresh per-sample prompt
+        index is drawn inside the step from the step RNG and gathered from
+        the table — same per-step distribution, no host round-trip. Row 0 is
+        then broadcast (the reference's dist.broadcast(src=0),
+        run_attention.py:1141-1144), so one prompt drives the whole global
+        batch each step, and all K prompts are seen over a run.
+        """
         cfg = self.cfg
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         t = step_idx / cfg.step
+        att_idx = jax.random.randint(
+            k3, (cfg.batch_size,), 0, attention_text_bank.shape[0])
+        attention_text = attention_text_bank[att_idx]
+
+        def shard_batch(x):
+            if self.mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+            spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, spec))
 
         # batch 1: conditioning features (CLIP image embeddings of fresh
         # faces; run_attention.py:1163-1172 — the text/perturb variants are
         # dead code, image features win)
-        z1 = jax.random.normal(k1, (cfg.batch_size, 512))
+        z1 = shard_batch(jax.random.normal(k1, (cfg.batch_size, 512)))
         img1, _, _, _ = self._synthesize(z1)
         cond_features = jax.lax.stop_gradient(self.encode_image(img1))
 
         # batch 2: the shared edit target — row 0 broadcast everywhere
-        z2 = jax.random.normal(k2, (cfg.batch_size, 512))
+        z2 = shard_batch(jax.random.normal(k2, (cfg.batch_size, 512)))
         img2, wplus2, styles2, feats2 = self._synthesize(z2)
         img2, wplus2 = _broadcast_row0(img2), _broadcast_row0(wplus2)
         styles2 = _broadcast_row0(styles2)
@@ -191,7 +223,8 @@ class AttentionTrainer:
                      + cfg.lambda_delta * mo.loss_delta)
             aux = {"loss": total, "consist": loss_consist,
                    "perceptual": loss_perceptual, "delta": mo.loss_delta,
-                   "reg": mo.loss_reg, "tv": mo.loss_tv}
+                   "reg": mo.loss_reg, "tv": mo.loss_tv,
+                   "att_idx": att_idx[0].astype(jnp.float32)}
             return total, (aux, img_gen, mo.attention_map)
 
         (loss, (aux, img_gen, amap)), grads = jax.value_and_grad(
@@ -207,13 +240,18 @@ class AttentionTrainer:
         return mapper_params, opt_state, aux, img_gen, amap
 
     # ------------------------------------------------------------------ run
-    def run(self, attention_text_batch: jnp.ndarray,
+    def run(self, attention_text_bank: jnp.ndarray,
             log_every: int = 10, callback: Optional[Callable] = None,
             nan_guard: bool = True):
         """Training loop with basic failure detection (SURVEY.md §5: the
         reference has none): on a non-finite loss the step is rejected, the
         params roll back to the last finite state, and after 3 consecutive
-        rejections the run aborts with a diagnostic."""
+        rejections the run aborts with a diagnostic.
+
+        ``attention_text_bank``: (K, D) CLIP encodings of the region prompts;
+        each step samples one per batch item inside the jitted step (see
+        ``_step``).
+        """
         key = jax.random.PRNGKey(self.cfg.seed)
         history = []
         last_good = (self.mapper_params, self.opt_state)
@@ -222,7 +260,7 @@ class AttentionTrainer:
             key, k = jax.random.split(key)
             new_params, new_opt, aux, img, amap = self.step_fn(
                 self.mapper_params, self.opt_state, jnp.asarray(float(i)), k,
-                attention_text_batch)
+                attention_text_bank)
             if nan_guard:
                 loss = float(aux["loss"])
                 if not np.isfinite(loss):

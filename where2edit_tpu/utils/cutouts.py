@@ -114,9 +114,39 @@ def masks_to_boxes(masks: jnp.ndarray, threshold: float = 0.7,
     return jnp.stack([x1, y1, x2, y2], axis=1).astype(jnp.int32)
 
 
+def crop_resize_bilinear(x: jnp.ndarray, oy, ox, size, out_size: int
+                         ) -> jnp.ndarray:
+    """Dynamic square crop (oy, ox, size, size) resized to out_size², with
+    static output shapes (jit-safe): separable bilinear sampling at traced
+    coordinates. ``oy``/``ox``/``size`` may be traced scalars."""
+    _, h, w, _ = x.shape
+    i = jnp.arange(out_size, dtype=jnp.float32)
+
+    def axis_samples(off, extent, limit):
+        s = off + size * (i + 0.5) / out_size - 0.5
+        lo = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, limit - 1)
+        hi = jnp.clip(lo + 1, 0, limit - 1)
+        frac = jnp.clip(s - lo, 0.0, 1.0)
+        return lo, hi, frac.astype(x.dtype)
+
+    y0, y1, fy = axis_samples(oy, size, h)
+    x0, x1, fx = axis_samples(ox, size, w)
+    rows = (jnp.take(x, y0, axis=1) * (1 - fy)[None, :, None, None]
+            + jnp.take(x, y1, axis=1) * fy[None, :, None, None])
+    return (jnp.take(rows, x0, axis=2) * (1 - fx)[None, None, :, None]
+            + jnp.take(rows, x1, axis=2) * fx[None, None, :, None])
+
+
 class MakeCutouts:
-    """utils.py:266-316: random square crops resampled to cut_size, with
-    horizontal flips + additive noise; gradients clamp through [0, 1]."""
+    """utils.py:266-316: random VARIABLE-size square crops (size ~
+    rand()^cut_pow scaled to [min_size, max_size]) resampled to cut_size,
+    with horizontal flips + additive noise; gradients clamp through [0, 1].
+
+    Deviation (documented): the reference lanczos-prefilters each crop before
+    resizing (utils.py:339-358 ``resample``); with traced crop sizes the
+    prefilter width would be dynamic, so crops are sampled bilinearly at
+    traced coordinates instead (``crop_resize_bilinear``). The static-size
+    ``resample`` keeps the exact lanczos path for non-jit callers."""
 
     def __init__(self, cut_size: int, cutn: int, cut_pow: float = 1.0,
                  noise_fac: float = 0.1):
@@ -133,19 +163,13 @@ class MakeCutouts:
         for _ in range(self.cutn):
             key, k1, k2, k3, k4 = jax.random.split(key, 5)
             frac = jax.random.uniform(k1) ** self.cut_pow
-            size = (frac * (max_size - min_size) + min_size).astype(jnp.int32)
-            # static-shape crop: slice max_size then mask-resample via
-            # dynamic_slice at the chosen offset/size rounded to max square
-            size_f = jnp.maximum(size, 1)
-            oy = jax.random.randint(k2, (), 0, h - min_size + 1)
-            ox = jax.random.randint(k3, (), 0, w - min_size + 1)
-            # approximate the variable-size crop with the min square (static
-            # shapes under jit) — distribution-equivalent augmentation
-            crop = lax.dynamic_slice(
-                x, (0, oy, ox, 0), (x.shape[0], min_size, min_size,
-                                    x.shape[3]))
-            del size_f
-            cut = resample(crop, (self.cut_size, self.cut_size))
+            size = jnp.floor(frac * (max_size - min_size) + min_size)
+            # offsets uniform over [0, side - size] (utils.py:302-303);
+            # sampled continuously since `size` is traced
+            oy = jnp.floor(jax.random.uniform(k2) * (h - size + 1))
+            ox = jnp.floor(jax.random.uniform(k3) * (w - size + 1))
+            cut = crop_resize_bilinear(x, oy, ox, size,
+                                       self.cut_size)
             flip = jax.random.bernoulli(k4)
             cut = jnp.where(flip, cut[:, :, ::-1, :], cut)
             cuts.append(cut)
