@@ -80,30 +80,36 @@ def main():
     init_z = [jnp.zeros((1, 512))]
     gvars = jax.jit(lambda: gen.init({"params": key, "noise": key}, init_z))()
 
+    # NOTE: every jitted program below takes its variable trees as
+    # ARGUMENTS — weights closed over become HLO constants, which this
+    # environment's remote compile service processes ~100x slower than
+    # parameter inputs (measured: e4e fwd >35 min with constants vs 10 s
+    # with parameters).
+
     # ---------------- config 2: synthesis-only batch forward ----------------
     N = 10
 
     @jax.jit
-    def synth_loop(zs):
+    def synth_loop(gv, zs):
         def body(i, acc):
-            img = gen.apply(gvars, [zs[i]], randomize_noise=False).image
+            img = gen.apply(gv, [zs[i]], randomize_noise=False).image
             return acc + jnp.mean(img)
         return jax.lax.fori_loop(0, N, body, 0.0)
 
     log("config 2: synthesis-only …")
     zs = jax.random.normal(jax.random.PRNGKey(1), (N, BATCH, 512))
-    dt = timeit(synth_loop, zs) / N
+    dt = timeit(synth_loop, gvars, zs) / N
     results["synthesis_only_imgs_per_sec_per_chip"] = round(BATCH / dt, 2)
     log(f"  {results['synthesis_only_imgs_per_sec_per_chip']} imgs/s")
 
     # ---------------- models for the edit paths ----------------
     @jax.jit
-    def synth_features(z):
-        return gen.apply(gvars, [z], randomize_noise=False,
+    def synth_features(gv, z):
+        return gen.apply(gv, [z], randomize_noise=False,
                          return_features=True)
 
     z = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 512))
-    out = jax.block_until_ready(synth_features(z))
+    out = jax.block_until_ready(synth_features(gvars, z))
     feats = list(out.feature_map)
     const = gvars["params"]["input"]["input"]
     feats.append(jnp.broadcast_to(const, (BATCH, *const.shape[1:])))
@@ -157,13 +163,15 @@ def main():
                    for f in feats]
         texts_b = jax.random.normal(jax.random.PRNGKey(5), (N, batch, 512))
 
-        text_loop = stage_loop(lambda i, tk: jnp.sum(clip_model.apply(
-            clip_vars, tk[i], method=clip_model.encode_text)))
-        invert_loop = stage_loop(lambda i, im: jnp.sum(
-            e4e.apply(evars, im + 1e-4 * i)))
+        text_loop = stage_loop(lambda i, cv, tk: jnp.sum(clip_model.apply(
+            cv, tk[i], method=clip_model.encode_text)))
 
-        def capture_body(i, w):
-            cap = gen.apply(gvars, [w + 1e-4 * i], input_is_latent=True,
+        def invert_body(i, ev, im):
+            return jnp.sum(e4e.apply(ev, im + 1e-4 * i))
+        invert_loop = stage_loop(invert_body)
+
+        def capture_body(i, gv, w):
+            cap = gen.apply(gv, [w + 1e-4 * i], input_is_latent=True,
                             randomize_noise=False, return_features=True)
             # consume every tap so the capture pass can't be DCE'd
             return (jnp.mean(cap.image)
@@ -171,10 +179,10 @@ def main():
                     + sum(jnp.mean(s) for s in cap.style_vector))
         capture_loop = stage_loop(capture_body)
 
-        def edit_body(i, texts, styles, fm):
+        def edit_body(i, gv, mv, texts, styles, fm):
             img, _, amap, _ = one_text_edit(
-                generator=gen, gen_vars=gvars, mapper=mapper,
-                mapper_vars=mvars, text_features=texts[i],
+                generator=gen, gen_vars=gv, mapper=mapper,
+                mapper_vars=mv, text_features=texts[i],
                 attention_text_features=texts[i], latent=styles,
                 feature_map=fm, attention_layer=ATT_LAYER,
                 work_in_stylespace=True)
@@ -182,10 +190,10 @@ def main():
         edit_loop = stage_loop(edit_body)
 
         stage_args = {
-            "text_encode": (text_loop, (tokens,)),
-            "invert": (invert_loop, (img256,)),
-            "capture": (capture_loop, (wplus0,)),
-            "edit": (edit_loop, (texts_b, styles_b, feats_b)),
+            "text_encode": (text_loop, (clip_vars, tokens)),
+            "invert": (invert_loop, (evars, img256)),
+            "capture": (capture_loop, (gvars, wplus0)),
+            "edit": (edit_loop, (gvars, mvars, texts_b, styles_b, feats_b)),
         }
         return stage_args
 
@@ -233,8 +241,8 @@ def main():
     perceptual = PerceptualLoss(vgg, vgg_vars, SIZE)
 
     z1 = jax.random.normal(key, (train_batch, 512))
-    cap = gen_train.apply(gvars, [z1], randomize_noise=False,
-                          return_features=True)
+    cap = jax.jit(lambda gv, zz: gen_train.apply(
+        gv, [zz], randomize_noise=False, return_features=True))(gvars, z1)
     fm = list(cap.feature_map)
     fm.append(jnp.broadcast_to(const, (train_batch, *const.shape[1:])))
     t1 = jnp.zeros((train_batch, 512))
@@ -251,9 +259,12 @@ def main():
     trainer = AttentionTrainer(
         cfg, generator=gen_train, gen_vars=gvars, mapper=mapper,
         mapper_params=mvars_t["params"],
-        encode_image=clip_loss.encode_image, perceptual=perceptual,
+        encode_image=lambda lv, img: clip_loss.apply_encode_image(
+            lv["clip"], img),
+        perceptual=lambda lv, a, b_: perceptual.apply(lv["vgg"], a, b_),
         mean_latent=jnp.zeros((1, 512)),
-        mapper_extra_variables={"clusters": mvars_t["clusters"]})
+        mapper_extra_variables={"clusters": mvars_t["clusters"]},
+        loss_variables={"clip": clip_vars, "vgg": vgg_vars})
 
     log("config 5: training step (3x synthesis + CLIP + VGG + backward) …")
     bank = jax.random.normal(jax.random.PRNGKey(7), (7, 512))

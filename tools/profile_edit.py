@@ -105,31 +105,32 @@ def main():
     gen, gvars, mapper, mvars, text, out, feats, att = build(
         args.batch, s2d_octaves=args.s2d)
 
+    # variable trees as jit ARGUMENTS (constants compile ~100x slower here)
     if args.what == "edit":
         @jax.jit
-        def step(text, styles, feats):
+        def step(gv, mv, text, styles, feats):
             img, _, amap, _ = one_text_edit(
-                generator=gen, gen_vars=gvars, mapper=mapper,
-                mapper_vars=mvars, text_features=text,
+                generator=gen, gen_vars=gv, mapper=mapper,
+                mapper_vars=mv, text_features=text,
                 attention_text_features=text, latent=styles,
                 feature_map=feats, attention_layer=att,
                 work_in_stylespace=True)
             return img, amap
-        fn = lambda: step(text, out.style_vector, feats)  # noqa: E731
+        fn = lambda: step(gvars, mvars, text, out.style_vector, feats)  # noqa: E731
     elif args.what == "synth":
         @jax.jit
-        def step(styles):
-            return gen.apply(gvars, styles, input_is_stylespace=True,
+        def step(gv, styles):
+            return gen.apply(gv, styles, input_is_stylespace=True,
                              randomize_noise=False).image
-        fn = lambda: step(out.style_vector)  # noqa: E731
+        fn = lambda: step(gvars, out.style_vector)  # noqa: E731
     else:
         blend = feats[att - 1].shape[1]
 
         @jax.jit
-        def step(text, styles, feats):
-            return mapper.apply(mvars, text, styles, feats, blend,
+        def step(mv, text, styles, feats):
+            return mapper.apply(mv, text, styles, feats, blend,
                                 train=False, deterministic_noise=True)
-        fn = lambda: step(text, out.style_vector, feats)  # noqa: E731
+        fn = lambda: step(mvars, text, out.style_vector, feats)  # noqa: E731
 
     jax.block_until_ready(fn())  # compile
     t0 = time.time()

@@ -206,8 +206,11 @@ def main(argv=None):
         mvars["params"] = jax.tree.map(jnp.asarray, tree["mapper"])
         print(f"resumed mapper from {args.resume}")
 
-    def encode_image(img):
-        return clip_loss.encode_image(img)
+    def encode_image(loss_vars, img):
+        return clip_loss.apply_encode_image(loss_vars["clip"], img)
+
+    def perceptual_fn(loss_vars, a, b_):
+        return perceptual.apply(loss_vars["vgg"], a, b_)
 
     cfg = AttentionTrainConfig(
         stylegan_size=args.stylegan_size,
@@ -220,9 +223,10 @@ def main(argv=None):
     trainer = AttentionTrainer(
         cfg, generator=gen, gen_vars=gvars, mapper=mapper,
         mapper_params=mvars["params"], encode_image=encode_image,
-        perceptual=perceptual, mean_latent=mean_w,
+        perceptual=perceptual_fn, mean_latent=mean_w,
         mapper_extra_variables={k_: v for k_, v in mvars.items()
-                                if k_ not in ("params",)})
+                                if k_ not in ("params",)},
+        loss_variables={"clip": clip_vars, "vgg": vgg_vars})
 
     # region-prompt bank: CLIP-encode all fixed prompts ONCE; the jitted
     # step re-samples one per step + row-0 broadcast, so a trained run sees
@@ -236,9 +240,11 @@ def main(argv=None):
     own_text_feats = (clip_loss.encode_text(jnp.asarray(tokenize(phrases_own)))
                       if phrases_own else None)
 
-    def render_one(mparams, extra, text, latents, feats_in):
+    def render_one(g_vars, mparams, extra, text, latents, feats_in):
         """Edit `latents` with one phrase (mapper defaults: in-forward
-        ST-threshold + blur, run_attention.py:882-884; no demo threshold)."""
+        ST-threshold + blur, run_attention.py:882-884; no demo threshold).
+        All variable trees are jit ARGUMENTS (constants compile ~100x
+        slower on this backend)."""
         variables = {"params": mparams, **extra}
         blend = feats_in[args.attention_layer - 1].shape[1]
         if args.work_in_stylespace:
@@ -251,7 +257,7 @@ def main(argv=None):
                               train=False)
             gen_in = [latents + mo.latents]
             kw = dict(input_is_latent=True)
-        g = gen.apply(gvars, gen_in, randomize_noise=False,
+        g = gen.apply(g_vars, gen_in, randomize_noise=False,
                       attention_layer=args.attention_layer,
                       attention_map=mo.attention_map,
                       feature_map=feats_in, **kw)
@@ -259,25 +265,31 @@ def main(argv=None):
 
     render_one = jax.jit(render_one)
 
-    def sample_eval_inputs(k, batch):
-        """Fresh truncated sample + feature taps (run_attention.py:1492-1512)."""
+    def _sample_eval(g_vars, mean_w_in, k, batch):
         z_ev = jax.random.normal(k, (batch, 512))
-        w_ev = gen.apply(gvars, [z_ev], truncation=args.truncation,
-                         truncation_latent=mean_w, return_latents=True,
-                         randomize_noise=False).latent
-        out_ev = gen.apply(gvars, [w_ev], input_is_latent=True,
+        w = gen.apply(g_vars, z_ev, method=gen.get_latent)
+        w = mean_w_in + args.truncation * (w - mean_w_in)
+        w_ev = jnp.repeat(w[:, None, :], gen.n_latent, axis=1)
+        out_ev = gen.apply(g_vars, [w_ev], input_is_latent=True,
                            randomize_noise=False, return_features=True)
         f_ev = list(out_ev.feature_map)
-        f_ev.append(jnp.broadcast_to(const, (batch, *const.shape[1:])))
+        c = g_vars["params"]["input"]["input"]
+        f_ev.append(jnp.broadcast_to(c, (batch, *c.shape[1:])))
         lat_ev = out_ev.style_vector if args.work_in_stylespace else w_ev
         return out_ev.image, lat_ev, f_ev
+
+    _sample_eval = jax.jit(_sample_eval, static_argnums=(3,))
+
+    def sample_eval_inputs(k, batch):
+        """Fresh truncated sample + feature taps (run_attention.py:1492-1512)."""
+        return _sample_eval(gvars, mean_w, k, batch)
 
     def render_phrase_sweep(latents, feats_in, batch):
         """One (edited-img, attention) pair per own phrase."""
         imgs, amaps = [], []
         for p in range(own_text_feats.shape[0]):
             text = jnp.broadcast_to(own_text_feats[p:p + 1], (batch, 512))
-            img_p, amap_p = render_one(trainer.mapper_params,
+            img_p, amap_p = render_one(gvars, trainer.mapper_params,
                                        trainer.mapper_variables_extra,
                                        text, latents, feats_in)
             imgs.append(np.asarray(img_p))

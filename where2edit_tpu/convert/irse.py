@@ -150,8 +150,8 @@ def convert_encoder_params(state_dict: dict, stylegan_size: int = 1024,
                   "styles_middle": (range(3, 7), 32),
                   "styles_fine": (range(7, style_count), 64)}
         for name, (idxs, spatial) in groups.items():
-            params[name] = _stack_tree(
-                [_style_block(sd, f"styles.{i}", spatial) for i in idxs])
+            params[name] = {"blk": _stack_tree(
+                [_style_block(sd, f"styles.{i}", spatial) for i in idxs])}
         for name in ("latlayer1", "latlayer2"):
             params[name] = {"weight": _conv_w(sd[f"{name}.weight"]),
                             "bias": _np(sd[f"{name}.bias"])}

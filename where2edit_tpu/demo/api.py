@@ -82,25 +82,29 @@ class EditSession:
         # Only (img, latents, map) leave the program — the edited feature
         # taps would otherwise be materialized as outputs (26 tensors up to
         # 1024²) on every slider move; dropping them here lets XLA DCE the
-        # tap collection entirely.
-        def _edit_fn(**kw):
+        # tap collection entirely. All variable trees are jit ARGUMENTS:
+        # weights closed over become HLO constants, which compile ~100x
+        # slower on remote-compile backends.
+        def _edit_fn(g_vars, m_vars, **kw):
             img, new_lat, amap, _ = one_text_edit(
-                generator=generator, gen_vars=gen_vars, mapper=mapper,
-                mapper_vars=mapper_vars, attention_layer=attention_layer,
+                generator=generator, gen_vars=g_vars, mapper=mapper,
+                mapper_vars=m_vars, attention_layer=attention_layer,
                 work_in_stylespace=work_in_stylespace, **kw)
             return img, new_lat, amap
 
-        self._edit = jax.jit(_edit_fn)
+        self._edit_jit = jax.jit(_edit_fn)
+        self._edit = lambda **kw: self._edit_jit(self.gen_vars,
+                                                 self.mapper_vars, **kw)
         self._sample_w = jax.jit(
-            lambda key, trunc, mean, batch: self.generator.apply(
-                self.gen_vars,
+            lambda g_vars, key, trunc, mean, batch: self.generator.apply(
+                g_vars,
                 [jax.random.normal(key, (batch, 512))], truncation=trunc,
                 truncation_latent=mean, return_latents=True,
                 randomize_noise=False).latent,
-            static_argnums=(1, 3))  # generator branches on truncation < 1
+            static_argnums=(2, 4))  # generator branches on truncation < 1
         self._capture_fn = jax.jit(
-            lambda w: self.generator.apply(
-                self.gen_vars, [w], input_is_latent=True,
+            lambda g_vars, w: self.generator.apply(
+                g_vars, [w], input_is_latent=True,
                 randomize_noise=False, return_features=True))
 
     def load_synthetic(self, key, truncation: float = 0.7,
@@ -112,11 +116,13 @@ class EditSession:
                 from where2edit_tpu.models.stylegan2 import Generator  # noqa: PLC0415
 
                 self._mean_latent = jax.jit(
-                    lambda k: self.generator.apply(
-                        self.gen_vars, k, 4096,
-                        method=Generator.mean_latent))(jax.random.PRNGKey(0))
+                    lambda v, k: self.generator.apply(
+                        v, k, 4096,
+                        method=Generator.mean_latent))(
+                    self.gen_vars, jax.random.PRNGKey(0))
             mean_latent = self._mean_latent
-        wplus = self._sample_w(key, truncation, mean_latent, batch)
+        wplus = self._sample_w(self.gen_vars, key, truncation, mean_latent,
+                               batch)
         return self._capture(wplus)
 
     def load_latent(self, wplus: jnp.ndarray):
@@ -124,7 +130,7 @@ class EditSession:
         return self._capture(wplus)
 
     def _capture(self, wplus):
-        out = self._capture_fn(wplus)
+        out = self._capture_fn(self.gen_vars, wplus)
         feats = list(out.feature_map)
         const = self.gen_vars["params"]["input"]["input"]
         feats.append(jnp.broadcast_to(const, (wplus.shape[0],

@@ -18,9 +18,16 @@ class PerceptualLoss:
         self.variables = vgg_variables
         self.stylegan_size = stylegan_size
 
-    def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, variables, image1: jnp.ndarray,
+              image2: jnp.ndarray) -> jnp.ndarray:
+        """Pure form: VGG variables explicit so outer jitted steps can pass
+        them as arguments (weights closed over become HLO constants — see
+        losses/clip_loss.py docstring)."""
         x1 = clip_image_resize(image1, self.stylegan_size)
         x2 = clip_image_resize(image2, self.stylegan_size)
-        f1 = self.vgg.apply(self.variables, x1)
-        f2 = self.vgg.apply(self.variables, x2)
+        f1 = self.vgg.apply(variables, x1)
+        f2 = self.vgg.apply(variables, x2)
         return jnp.mean(jnp.square(f1.relu2_2 - f2.relu2_2))
+
+    def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(self.variables, image1, image2)

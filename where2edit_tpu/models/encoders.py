@@ -44,6 +44,16 @@ class GradualStyleBlock(fnn.Module):
         return EqualLinear(self.out_c, self.out_c, lr_mul=1.0, name="linear")(x)
 
 
+class _StyleCell(fnn.Module):
+    """Scan cell: one GradualStyleBlock on the (broadcast) carry feature."""
+    spatial: int
+
+    @fnn.compact
+    def __call__(self, feat, _):
+        y = GradualStyleBlock(512, 512, self.spatial, name="blk")(feat)
+        return feat, y
+
+
 class _EncoderBase(fnn.Module):
     num_layers: int = 50
     mode: str = "ir_se"
@@ -59,22 +69,26 @@ class _EncoderBase(fnn.Module):
         return IRSEBody(self.num_layers, self.mode, name="body")(x, want_taps=True)
 
     def _style_groups(self, c3, p2_fn, p1_fn):
-        """Apply the 18 GradualStyleBlocks as THREE vmapped groups.
+        """Apply the 18 GradualStyleBlocks as THREE scanned groups.
 
         Every block within a group reads the same FPN level
-        (psp_encoders.py:84-91), so the group runs as ONE batched conv
-        stack over stacked params (fnn.vmap) instead of N sequential tiny
-        convs — fewer HLO ops and better MXU occupancy, identical numerics.
+        (psp_encoders.py:84-91), so each group runs as ONE nn.scan over
+        stacked params (input broadcast via the carry) — one block body in
+        HLO per group instead of N, identical numerics. nn.vmap would fuse
+        harder (batched convs) but lowers to grouped convolutions with odd
+        group counts (3/4/11), which the TPU compiler handles
+        pathologically; scan keeps every conv a plain conv.
         p2/p1 are thunks so the FPN merge order matches the reference
         (latlayer1 before the middle group, latlayer2 before fine).
         Returns (coarse, middle, fine) with shapes (n_g, B, 512).
         """
         def group(n, spatial, name, feat):
-            V = fnn.vmap(GradualStyleBlock,
-                         variable_axes={"params": 0},
-                         split_rngs={"params": True},
-                         in_axes=None, out_axes=0, axis_size=n)
-            return V(512, 512, spatial, name=name)(feat)
+            Scan = fnn.scan(_StyleCell,
+                            variable_axes={"params": 0},
+                            split_rngs={"params": True},
+                            length=n)
+            _, ys = Scan(spatial, name=name)(feat, None)
+            return ys
 
         coarse = group(self.coarse_ind, 16, "styles_coarse", c3)
         p2 = p2_fn()

@@ -74,6 +74,31 @@ class PReLU(fnn.Module):
         return jnp.where(x >= 0, x, x * a.astype(x.dtype))
 
 
+# convs whose OUTPUT has at most this many positions run as im2col matmuls:
+# mathematically identical, but the XLA TPU conv emitter spends ~1 min per
+# conv instance at these shapes (measured: one 512-ch 64→1 conv chain =
+# 336 s remote compile vs 27 s as GEMMs) while the equivalent GEMM compiles
+# instantly — and the GEMM is exactly what the MXU would run anyway.
+_CONV_AS_MATMUL_MAX_POSITIONS = 128 * 128
+
+
+def conv2d_im2col(x, w, stride: int, padding: int):
+    """3x3/kxk conv as patch-gather + matmul (exact). x NHWC, w HWIO."""
+    kh, kw, cin, cout = w.shape
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding),
+                        (0, 0)))
+    h, wd = x.shape[1], x.shape[2]
+    ho = (h - kh) // stride + 1
+    wo = (wd - kw) // stride + 1
+    cols = [
+        x[:, dy:dy + stride * ho:stride, dx:dx + stride * wo:stride, :]
+        for dy in range(kh) for dx in range(kw)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)  # (B,ho,wo,kh*kw*cin)
+    return patches @ w.reshape(kh * kw * cin, cout).astype(patches.dtype)
+
+
 class Conv(fnn.Module):
     """Plain torch-Conv2d equivalent, NHWC/HWIO."""
     in_channel: int
@@ -90,11 +115,16 @@ class Conv(fnn.Module):
             "weight", fnn.initializers.lecun_normal(),
             (k, k, self.in_channel, self.out_channel),
         )
-        out = lax.conv_general_dilated(
-            x, w.astype(x.dtype), (self.stride, self.stride),
-            ((self.padding, self.padding), (self.padding, self.padding)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        out_h = (x.shape[1] + 2 * self.padding - k) // self.stride + 1
+        out_w = (x.shape[2] + 2 * self.padding - k) // self.stride + 1
+        if out_h * out_w <= _CONV_AS_MATMUL_MAX_POSITIONS:
+            out = conv2d_im2col(x, w, self.stride, self.padding)
+        else:
+            out = lax.conv_general_dilated(
+                x, w.astype(x.dtype), (self.stride, self.stride),
+                ((self.padding, self.padding), (self.padding, self.padding)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             b = self.param("bias", fnn.initializers.zeros, (self.out_channel,))
             out = out + b.astype(out.dtype)

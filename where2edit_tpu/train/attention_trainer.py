@@ -83,15 +83,24 @@ class AttentionTrainer:
     random-weight smoke tests, and the multi-chip dryrun alike:
       * generator, gen_vars — frozen synthesis network
       * mapper, mapper params — the trainable module
-      * encode_image(img)->feats, perceptual(img1,img2)->scalar — callables
+      * encode_image(loss_variables, img)->feats,
+        perceptual(loss_variables, img1, img2)->scalar — callables whose
+        weights live in ``loss_variables`` (threaded through the jitted
+        step as arguments, never closed over)
     """
 
     def __init__(self, cfg: AttentionTrainConfig, *, generator, gen_vars,
                  mapper, mapper_params, encode_image: Callable,
                  perceptual: Callable, mean_latent: jnp.ndarray,
                  mapper_extra_variables: Optional[dict] = None,
-                 mesh=None):
+                 mesh=None, loss_variables: Optional[dict] = None):
         self.cfg = cfg
+        # encode_image(loss_variables, img) / perceptual(loss_variables, a, b)
+        # — loss weights (CLIP/VGG) are threaded through the jitted step as
+        # ARGUMENTS, like gen_vars and the mapper extras. Weights closed
+        # over become HLO constants, which this environment's compile
+        # service processes ~100x slower than parameter inputs.
+        self.loss_variables = dict(loss_variables or {})
         # optional jax.sharding.Mesh with a "data" axis: the sampled batch is
         # sharding-constrained over it, so XLA lays every batch-dim tensor
         # out DP-style and inserts the ICI collectives (the reference's
@@ -112,32 +121,47 @@ class AttentionTrainer:
         self.opt = optax.adam(learning_rate=schedule)
         self.opt_state = self.opt.init(mapper_params)
         self.freeze_mask = _attention_param_mask(mapper_params)
-        self.step_fn = jax.jit(self._step)
+        self._jit_step = jax.jit(self._step)
+
+        def step_fn(mapper_params, opt_state, step_idx, key, bank):
+            return self._jit_step(self.gen_vars, self.mapper_variables_extra,
+                                  self.loss_variables, mapper_params,
+                                  opt_state, step_idx, key, bank)
+
+        self.step_fn = step_fn
 
     # ------------------------------------------------------------- plumbing
-    def _synthesize(self, z):
-        """z → truncated W+ → (img, latent(s), styles, features+const)."""
+    def _synthesize(self, gen_vars, z):
+        """z → truncated W+ → (img, latent(s), styles, features+const).
+
+        The truncated W+ comes from the style MLP directly (mean_latent +
+        t·(w − mean_latent), model.py:496-504) — running the full generator
+        just to read ``.latent`` (as the eager reference does,
+        run_attention.py:1090-1093) would ship a dead synthesis body to the
+        compiler for every call.
+        """
         g = self.generator
-        wplus = g.apply(self.gen_vars, [z], truncation=self.cfg.truncation,
-                        truncation_latent=self.mean_latent,
-                        return_latents=True, randomize_noise=False).latent
-        out = g.apply(self.gen_vars, [wplus], input_is_latent=True,
+        w = g.apply(gen_vars, z, method=g.get_latent)
+        w = self.mean_latent + self.cfg.truncation * (w - self.mean_latent)
+        wplus = jnp.repeat(w[:, None, :], g.n_latent, axis=1)
+        out = g.apply(gen_vars, [wplus], input_is_latent=True,
                       randomize_noise=False, return_features=True)
         feats = list(out.feature_map)
         # append the const input tap (run_attention.py:1110)
         batch = z.shape[0]
-        const = self.gen_vars["params"]["input"]["input"]
+        const = gen_vars["params"]["input"]["input"]
         feats.append(jnp.broadcast_to(const,
                                       (batch, *const.shape[1:])))
         return out.image, wplus, out.style_vector, feats
 
-    def _mapper_forward(self, mapper_params, cond_features, latent, styles,
-                        feats, attention_text) -> tuple[Any, MapperOutput]:
+    def _mapper_forward(self, mapper_params, mapper_extra, cond_features,
+                        latent, styles, feats, attention_text
+                        ) -> tuple[Any, MapperOutput]:
         cfg = self.cfg
         blend_size = feats[cfg.attention_layer - 1].shape[1]
         variables = {"params": mapper_params}
-        if "clusters" in self.mapper_variables_extra:
-            variables.update(self.mapper_variables_extra)
+        if "clusters" in mapper_extra:
+            variables.update(mapper_extra)
         if cfg.work_in_stylespace:
             out = self.mapper.apply(
                 variables, cond_features, styles, feats, blend_size,
@@ -152,8 +176,8 @@ class AttentionTrainer:
         return new_latents, out
 
     # ----------------------------------------------------------------- step
-    def _step(self, mapper_params, opt_state, step_idx, key,
-              attention_text_bank):
+    def _step(self, gen_vars, mapper_extra, loss_vars, mapper_params,
+              opt_state, step_idx, key, attention_text_bank):
         """One training step.
 
         ``attention_text_bank`` is a (K, D) table of CLIP encodings of the K
@@ -184,13 +208,19 @@ class AttentionTrainer:
         # batch 1: conditioning features (CLIP image embeddings of fresh
         # faces; run_attention.py:1163-1172 — the text/perturb variants are
         # dead code, image features win)
-        z1 = shard_batch(jax.random.normal(k1, (cfg.batch_size, 512)))
-        img1, _, _, _ = self._synthesize(z1)
-        cond_features = jax.lax.stop_gradient(self.encode_image(img1))
-
         # batch 2: the shared edit target — row 0 broadcast everywhere
+        # Both no-grad syntheses run through ONE lax.map body: the compiler
+        # sees a single synthesis computation instead of two copies (the
+        # remote compile service is the bottleneck, not device time).
+        z1 = shard_batch(jax.random.normal(k1, (cfg.batch_size, 512)))
         z2 = shard_batch(jax.random.normal(k2, (cfg.batch_size, 512)))
-        img2, wplus2, styles2, feats2 = self._synthesize(z2)
+        imgs, wpluses, styles_m, feats_m = jax.lax.map(
+            lambda zz: self._synthesize(gen_vars, zz), jnp.stack([z1, z2]))
+        cond_features = jax.lax.stop_gradient(
+            self.encode_image(loss_vars, imgs[0]))
+        img2, wplus2 = imgs[1], wpluses[1]
+        styles2 = [s[1] for s in styles_m]
+        feats2 = [f[1] for f in feats_m]
         img2, wplus2 = _broadcast_row0(img2), _broadcast_row0(wplus2)
         styles2 = _broadcast_row0(styles2)
         feats2 = _broadcast_row0(feats2)
@@ -198,9 +228,10 @@ class AttentionTrainer:
 
         def loss_fn(mparams):
             new_latents, mo = self._mapper_forward(
-                mparams, cond_features, wplus2, styles2, feats2, att_text)
+                mparams, mapper_extra, cond_features, wplus2, styles2,
+                feats2, att_text)
             gen_out = self.generator.apply(
-                self.gen_vars,
+                gen_vars,
                 new_latents if cfg.work_in_stylespace else [new_latents],
                 input_is_latent=not cfg.work_in_stylespace,
                 input_is_stylespace=cfg.work_in_stylespace,
@@ -209,9 +240,9 @@ class AttentionTrainer:
                 attention_map=mo.attention_map,
                 feature_map=feats2)
             img_gen = gen_out.image
-            gen_features = self.encode_image(img_gen)
+            gen_features = self.encode_image(loss_vars, img_gen)
             loss_consist = infonce_consistency(gen_features, cond_features)
-            loss_perceptual = self.perceptual(img_gen, img2)
+            loss_perceptual = self.perceptual(loss_vars, img_gen, img2)
             ramp_a = jnp.clip((t - 0.15) / 0.1, 0.0, 1.0)
             ramp_b = jnp.clip((t - 0.05) / 0.1, 0.0, 1.0)
             # naming crosswire preserved (run_attention.py:1241-1243,1415):

@@ -25,6 +25,7 @@ import numpy as np
 import optax
 
 from where2edit_tpu.editing.latent_mappers import STYLESPACE_DIMENSIONS
+from where2edit_tpu.losses.clip_loss import clip_image_resize
 from where2edit_tpu.parallel.mesh import make_mesh, shard_batch
 from where2edit_tpu.train.checkpoints import save_checkpoint
 from where2edit_tpu.train.ranger import ranger
@@ -119,9 +120,9 @@ class Coach:
         bs = max(self.cfg.batch_size, 8)
 
         @jax.jit
-        def sample(z):
+        def sample(gv, z):
             out = self.generator.apply(
-                self.gen_vars, [z], truncation=0.7,
+                gv, [z], truncation=0.7,
                 truncation_latent=self.latent_avg, return_latents=True,
                 randomize_noise=False)
             return out.latent
@@ -130,27 +131,41 @@ class Coach:
         for i in range(0, n, bs):
             self.key, k = jax.random.split(self.key)
             z = jax.random.normal(k, (min(bs, n - i), 512))
-            chunks.append(np.asarray(sample(z)))
+            chunks.append(np.asarray(sample(self.gen_vars, z)))
         return np.concatenate(chunks, axis=0)[:n]
 
     # ------------------------------------------------------------------ step
-    def _decode(self, w, *, return_latents=False):
+    # All jitted paths thread gen_vars/loss variables as ARGUMENTS (weights
+    # closed over become HLO constants — ~100x slower remote compiles).
+    def _decode(self, gen_vars, w, *, return_latents=False):
         return self.generator.apply(
-            self.gen_vars, [w] if not isinstance(w, (list, tuple)) else w,
+            gen_vars, [w] if not isinstance(w, (list, tuple)) else w,
             input_is_latent=not self.cfg.work_in_stylespace,
             input_is_stylespace=self.cfg.work_in_stylespace,
             randomize_noise=False, return_latents=return_latents)
 
-    def _losses(self, w, x, w_hat, x_hat):
+    def _loss_variables(self) -> dict:
+        lv = {}
+        if self.id_loss_fn is not None:
+            lv["id"] = self.id_loss_fn.variables
+        if self.clip_loss_fn is not None:
+            lv["clip"] = self.clip_loss_fn.variables
+        return lv
+
+    def _losses(self, loss_vars, w, x, w_hat, x_hat):
         cfg = self.cfg
         loss = jnp.zeros(())
         aux = {}
         if cfg.id_lambda > 0 and self.id_loss_fn is not None:
-            loss_id, _ = self.id_loss_fn(x_hat, x)
+            loss_id, _ = self.id_loss_fn.apply(loss_vars["id"], x_hat, x)
             aux["loss_id"] = loss_id
             loss = loss + loss_id * cfg.id_lambda
         if cfg.clip_lambda > 0 and self.clip_loss_fn is not None:
-            loss_clip = jnp.mean(self.clip_loss_fn(x_hat, self.text_tokens))
+            cl = self.clip_loss_fn
+            resized = clip_image_resize(x_hat, cl.stylegan_size)
+            logits, _ = cl.model.apply(loss_vars["clip"], resized,
+                                       self.text_tokens)
+            loss_clip = jnp.mean(1.0 - logits / 100.0)
             aux["loss_clip"] = loss_clip
             loss = loss + loss_clip * cfg.clip_lambda
         if cfg.latent_l2_lambda > 0:
@@ -164,39 +179,44 @@ class Coach:
         aux["loss"] = loss
         return loss, aux
 
-    def _forward(self, mapper_params, w):
+    def _forward(self, gen_vars, mapper_params, w):
         if self.cfg.work_in_stylespace:
             delta = self.mapper.apply({"params": mapper_params}, w)
             w_hat = [c + 0.1 * d for c, d in zip(w, delta)]
         else:
             w_hat = w + 0.1 * self.mapper.apply({"params": mapper_params}, w)
-        out = self._decode(w_hat, return_latents=True)
+        out = self._decode(gen_vars, w_hat, return_latents=True)
         return w_hat, out.image
 
     def _build_step(self):
-        def loss_fn(mapper_params, w, x):
-            w_hat, x_hat = self._forward(mapper_params, w)
-            return self._losses(w, x, w_hat, x_hat)
+        def loss_fn(mapper_params, gen_vars, loss_vars, w, x):
+            w_hat, x_hat = self._forward(gen_vars, mapper_params, w)
+            return self._losses(loss_vars, w, x, w_hat, x_hat)
 
-        def step(mapper_params, opt_state, w):
-            x = self._decode(w).image
+        def step(gen_vars, loss_vars, mapper_params, opt_state, w):
+            x = self._decode(gen_vars, w).image
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                mapper_params, w, x)
+                mapper_params, gen_vars, loss_vars, w, x)
             updates, opt_state = self.opt.update(grads, opt_state,
                                                  mapper_params)
             mapper_params = optax.apply_updates(mapper_params, updates)
             return mapper_params, opt_state, aux, x
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        jit_step = jax.jit(step, donate_argnums=(2, 3))
+        lv = self._loss_variables()
+        return lambda params, opt_state, w: jit_step(
+            self.gen_vars, lv, params, opt_state, w)
 
     def _build_eval(self):
-        def evaluate(mapper_params, w):
-            x = self._decode(w).image
-            w_hat, x_hat = self._forward(mapper_params, w)
-            _, aux = self._losses(w, x, w_hat, x_hat)
+        def evaluate(gen_vars, loss_vars, mapper_params, w):
+            x = self._decode(gen_vars, w).image
+            w_hat, x_hat = self._forward(gen_vars, mapper_params, w)
+            _, aux = self._losses(loss_vars, w, x, w_hat, x_hat)
             return aux, x, x_hat
 
-        return jax.jit(evaluate)
+        jit_eval = jax.jit(evaluate)
+        lv = self._loss_variables()
+        return lambda params, w: jit_eval(self.gen_vars, lv, params, w)
 
     # ----------------------------------------------------------------- loops
     def _batches(self, latents: np.ndarray, batch_size: int, shuffle: bool):
@@ -212,12 +232,11 @@ class Coach:
             yield batch
 
     def _wplus_to_styles(self, w):
-        out = self._decode_styles(w)
-        return out
+        return self._decode_styles(self.gen_vars, w)
 
     @partial(jax.jit, static_argnums=0)
-    def _decode_styles(self, w):
-        out = self.generator.apply(self.gen_vars, [w], input_is_latent=True,
+    def _decode_styles(self, gen_vars, w):
+        out = self.generator.apply(gen_vars, [w], input_is_latent=True,
                                    return_latents=True, randomize_noise=False)
         return out.style_vector
 
