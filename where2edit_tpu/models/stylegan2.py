@@ -301,10 +301,16 @@ class Generator(fnn.Module):
                                input_is_stylespace=input_is_stylespace,
                                s2d_in=True, s2d_out=True)
                 tap(depth_to_space(out))
+                # the final octave's to_rgb + skip-add stay in s2d layout;
+                # ONE depth_to_space materializes the image after the loop
+                defer = oct_idx == n_oct - 1
                 skip, s3 = to_rgb(out, get(i + 2), skip,
                                   input_is_stylespace=input_is_stylespace,
-                                  s2d_in=True)
-                skip = tap(skip)
+                                  s2d_in=True, defer_d2s=defer)
+                if defer:
+                    tap(depth_to_space(skip))
+                else:
+                    skip = tap(skip)
             else:
                 out, s1 = conv_up(out, get(i), noise=n1,
                                   input_is_stylespace=input_is_stylespace)
@@ -318,6 +324,8 @@ class Generator(fnn.Module):
             style_vector.extend([s1, s2, s3])
             i += step
 
+        if prev_s2d:
+            skip = depth_to_space(skip)  # deferred final to_rgb d2s
         image = skip
         return GeneratorOutput(
             image=image,

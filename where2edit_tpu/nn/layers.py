@@ -23,6 +23,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as fnn
 from jax import lax
 
@@ -407,6 +408,10 @@ class ModulatedConv2d(fnn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         elif k == 1:
             assert s2d_in
+            # NB: a reshape-to-GEMM formulation is mathematically cleaner
+            # (1x1 is phase-transparent) but measured 1.8x SLOWER end to
+            # end — the (B,P,C) reshape forces layout copies of the full
+            # tensor. The block-diagonal conv stays.
             kern = _conv1_weight_to_s2d(w)
             out = lax.conv_general_dilated(
                 x, kern.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
@@ -472,7 +477,10 @@ class StyledConv(fnn.Module):
                           (self.out_channel,))
         if s2d_out:
             # per-pixel iid noise in s2d layout: one value per phase,
-            # broadcast across the channel block (phase-major order)
+            # broadcast across the channel block (phase-major order). The
+            # broadcast happens on a (B,H,W,4,C) view — materializing
+            # jnp.repeat(noise4, C) costs two full-tensor copies per layer
+            # (profiled at 512²x128).
             if noise is None:
                 key = self.make_rng("noise")
                 noise4 = jax.random.normal(
@@ -480,11 +488,36 @@ class StyledConv(fnn.Module):
                     out.dtype)
             else:
                 noise4 = space_to_depth(noise).astype(out.dtype)
-            out = NoiseInjection(name="noise")(
-                out, noise=jnp.repeat(noise4, self.out_channel, axis=-1))
+            b, h, w_, _ = out.shape
+            out5 = out.reshape(b, h, w_, 4, self.out_channel)
+            out5 = NoiseInjection(name="noise")(out5, noise=noise4[..., None])
+            out = out5.reshape(b, h, w_, 4 * self.out_channel)
             return fused_leaky_relu(out, jnp.tile(bias, 4)), s
         out = NoiseInjection(name="noise")(out, noise=noise)
         return fused_leaky_relu(out, bias), s
+
+
+def _skip_upsample_s2d_kernel(blur_kernel, channels: int) -> jnp.ndarray:
+    """Blur-upsample (upfirdn up=2, pad=(2,1)) as a stride-1 phase conv that
+    emits space-to-depth layout directly: (3, 3, C, 4C), channel-diagonal.
+
+    Derivation: out pixel j = 2I + a reads stuffed position j + t - 2, so
+    tap t = 2r − a with grid offset r − 1 → K_a[r] = k̃[2r − a] per axis
+    (k̃ = flipped 4-tap blur × up², as in Upsample)."""
+    k2 = make_kernel(blur_kernel) * 4.0
+    k2 = k2[::-1, ::-1]
+    kern = np.zeros((3, 3, channels, 4 * channels), np.float32)
+    for a1 in range(2):
+        for a2 in range(2):
+            for r1 in range(3):
+                for r2 in range(3):
+                    t1, t2 = 2 * r1 - a1, 2 * r2 - a2
+                    if not (0 <= t1 < 4 and 0 <= t2 < 4):
+                        continue
+                    for c in range(channels):
+                        kern[r1, r2, c, (a1 * 2 + a2) * channels + c] = \
+                            k2[t1, t2]
+    return jnp.asarray(kern)
 
 
 class ToRGB(fnn.Module):
@@ -496,17 +529,35 @@ class ToRGB(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, style, skip=None, input_is_stylespace: bool = False,
-                 s2d_in: bool = False):
+                 s2d_in: bool = False, defer_d2s: bool = False):
+        """``defer_d2s``: with ``s2d_in``, do the bias-add and the skip
+        upsample-add entirely in s2d layout and return the (B, H, W, 12)
+        s2d RGB — the caller depth-to-spaces once at the very end. The
+        pixel-layout round-trip here (d2s copy + fp32 convert + full-res
+        dilated conv + output relayout) was ~20% of a 1024² synthesis step.
+        """
         out, s = ModulatedConv2d(
             self.in_channel, 3, 1, self.style_dim, demodulate=False, name="conv"
         )(x, style, input_is_stylespace=input_is_stylespace,
           s2d_in=s2d_in, s2d_out=s2d_in)
+        bias = self.param("bias", fnn.initializers.zeros, (1, 1, 1, 3))
+        if s2d_in and defer_d2s:
+            # stay in s2d: bias tiles phase-major; the skip upsample is a
+            # stride-1 phase conv emitting s2d directly
+            out = out.astype(jnp.float32) + jnp.tile(bias, (1, 1, 1, 4))
+            if skip is not None:
+                kern = _skip_upsample_s2d_kernel(self.blur_kernel,
+                                                 skip.shape[-1])
+                skip_s2d = lax.conv_general_dilated(
+                    skip.astype(jnp.float32), kern, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                out = out + skip_s2d
+            return out, s
         if s2d_in:
             out = depth_to_space(out)  # rgb is tiny — back to pixels here
         # the RGB skip chain accumulates across every octave — keep it fp32
         # even under a bf16 synthesis policy (3 channels: cost is nil)
         out = out.astype(jnp.float32)
-        bias = self.param("bias", fnn.initializers.zeros, (1, 1, 1, 3))
         out = out + bias
         if skip is not None:
             skip = Upsample(self.blur_kernel, name="upsample")(

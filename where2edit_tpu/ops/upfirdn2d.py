@@ -172,6 +172,22 @@ def upfirdn2d(x: jnp.ndarray, kernel, up: int = 1, down: int = 1,
 
     import os
     impl = os.environ.get("W2E_UPFIRDN_IMPL", "shift_add")
+
+    # tiny channel counts (the RGB skip chain): one DENSE conv with
+    # lhs_dilation. The shift-add path's phase interleave lowers to
+    # stack+reshape layout copies that dominate the skip chain's cost
+    # (profiled: ~25% of a 1024² synthesis step was these copies); a dense
+    # (kh,kw,C,C) diagonal kernel is one implicit-dilation conv pass with
+    # no materialized intermediates, and at C=3 the padded MACs are noise.
+    c = x.shape[-1]
+    if impl != "conv" and c <= 8 and up >= 1 and down == 1:
+        rhs = flipped[:, :, None, None] * jnp.eye(c, dtype=x.dtype)
+        return lax.conv_general_dilated(
+            x, rhs.astype(x.dtype), window_strides=(1, 1), padding=padding,
+            lhs_dilation=(up, up),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
     if (impl == "shift_add" and _is_separable(kernel) and kh > 1 and kw > 1
             and (down == 1 or up == 1)):
         # kernel = outer(u, v); factor via the dominant singular vectors.
