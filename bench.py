@@ -8,6 +8,8 @@ a 256² face + feature-capture 1024² synthesis + S-space mapper + masked
 1024² re-synthesis (show_demo/try_demo.py:93-156). "configs" carries the
 other BASELINE.json configs:
   * synthesis_only_imgs_per_sec        — config 2 (batch z→1024² forward)
+  * styleclip_mapper_edits_per_sec     — config 3 (LevelsMapper inference:
+    w + 0.1·mapper(w) → 1024² decode, mapper/scripts/inference.py:65-86)
   * interactive_edits_per_sec          — config 4 (session steady state:
     pre-captured features, mapper + masked synthesis per prompt — what a
     demo session pays per slider move / new prompt)
@@ -220,6 +222,33 @@ def main():
     results["e2e_p50_latency_ms_batch1"] = round(
         sum(per_edit1.values()) * 1e3, 2)
     log(f"  {results['e2e_p50_latency_ms_batch1']} ms")
+
+    # -------- config 3: StyleCLIP LevelsMapper inference --------
+    # The reference times run_on_batch = w + 0.1·mapper(w) → decode
+    # (mapper/scripts/inference.py:65-86, run_on_batch :90-98) over
+    # celeba-caption-trained coarse/medium/fine mappers. Same program here:
+    # LevelsMapper forward + 1024² decode per batch.
+    from where2edit_tpu.editing.latent_mappers import LevelsMapper  # noqa: PLC0415
+
+    log("config 3: StyleCLIP LevelsMapper inference …")
+    lmapper = LevelsMapper()
+    w0 = jax.random.normal(jax.random.PRNGKey(9), (BATCH, gen.n_latent, 512))
+    lm_vars = jax.jit(lambda w: lmapper.init({"params": key}, w))(w0)
+
+    def mapper_inf_body(i, gv, mv, ws):
+        w = ws[i]
+        w_hat = w + 0.1 * lmapper.apply(mv, w)
+        img = gen.apply(gv, [w_hat], input_is_latent=True,
+                        randomize_noise=False).image
+        return jnp.mean(img)
+
+    mapper_inf_loop = stage_loop(mapper_inf_body)
+    ws = jax.random.normal(jax.random.PRNGKey(10),
+                           (N, BATCH, gen.n_latent, 512))
+    dt = timeit(mapper_inf_loop, gvars, lm_vars, ws) / N
+    results["styleclip_mapper_edits_per_sec_per_chip"] = round(BATCH / dt, 2)
+    results["styleclip_mapper_ms_per_batch8"] = round(dt * 1e3, 3)
+    log(f"  {results['styleclip_mapper_edits_per_sec_per_chip']} edits/s")
 
     # ---------------- config 5: attention training step ----------------
     if os.environ.get("W2E_BENCH_SKIP_TRAIN") == "1":

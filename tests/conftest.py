@@ -36,6 +36,11 @@ SLOW_TESTS = {
     "test_run_clustering_cli",
     "test_ssim_vs_reference_256",
     "test_edit_session_and_one_text_edit",
+    "test_run_attention_cli_dp_mesh",
+    "test_evaluate_edits_cli",
+    "test_evaluate_iou_cli",
+    "test_demo_server_roundtrip",
+    "test_run_attention_cli_latent_path_and_text_condition",
     "test_coach_smoke",
     "test_attention_trainer_smoke",
     "test_attention_prompt_resampled_per_step",

@@ -79,3 +79,81 @@ def test_run_attention_cli_end_to_end(tmp_path):
     # final_result: originals row + one row per phrase → 3 rows x 4 cols
     assert img.size[0] > img.size[1]
     assert np.asarray(amap).size > 0
+
+
+@pytest.mark.slow
+def test_run_attention_cli_dp_mesh(tmp_path):
+    """--dp N shards the training batch over an N-device 'data' mesh from
+    the CLI (the reference's 8-way DDP launch, train_scripts.sh:2). Runs on
+    the 8-device virtual CPU platform (conftest)."""
+    import jax
+
+    from where2edit_tpu.cli import run_attention as cli
+
+    n = len(jax.devices())
+    assert n >= 8, "conftest should provision 8 virtual devices"
+    out_dir = cli.main([
+        "--stylegan_size", "32", "--attention_layer", "4",
+        "--cluster_layer", "4", "--batch_size", "8", "--step", "2",
+        "--dp", "8",
+        "--save_intermediate_image_every", "0",
+        "--results_dir", str(tmp_path / "results"),
+        "--ckpt", "/nonexistent", "--seed", "3",
+    ])
+    assert os.path.isdir(os.path.join(out_dir, "final_mapper"))
+
+    # indivisible batch is rejected up front
+    with pytest.raises(SystemExit):
+        cli.main(["--stylegan_size", "32", "--batch_size", "3", "--dp", "2",
+                  "--results_dir", str(tmp_path / "r2"),
+                  "--ckpt", "/nonexistent"])
+
+
+@pytest.mark.slow
+def test_run_attention_cli_latent_path_and_text_condition(tmp_path):
+    """--latent_path trains on loaded inverted W+ rows instead of sampled z
+    (run_attention.py:1184-1186,1571-1575) and --text_condition conditions
+    on corpus-phrase CLIP text encodings (the reference's revived text path,
+    run_attention.py:1112-1124)."""
+    import torch
+
+    from where2edit_tpu.cli import run_attention as cli
+
+    # a tiny W+ bank (N=5 rows, n_latent=8 at 32px) saved the way the
+    # reference expects (.pt tensor)
+    lat = torch.randn(5, 8, 512)
+    lat_path = tmp_path / "latents.pt"
+    torch.save(lat, str(lat_path))
+
+    cap_dir = tmp_path / "celeba-caption"
+    cap_dir.mkdir()
+    (cap_dir / "0.txt").write_text(
+        "She has big eyes, purple hair, and a pointy nose.\n")
+
+    out_dir = cli.main([
+        "--stylegan_size", "32", "--attention_layer", "4",
+        "--cluster_layer", "4", "--batch_size", "2", "--step", "2",
+        "--latent_path", str(lat_path),
+        "--text_condition", "--text_bank_size", "6",
+        "--description_dir", str(cap_dir),
+        "--save_intermediate_image_every", "0",
+        "--results_dir", str(tmp_path / "results"),
+        "--ckpt", "/nonexistent", "--seed", "5",
+    ])
+    assert os.path.isdir(os.path.join(out_dir, "final_mapper"))
+    with open(os.path.join(out_dir, "final_mapper", "opts.json")) as f:
+        opts = json.load(f)
+    assert opts["latent_path"] == str(lat_path)
+    assert opts["text_condition"] is True
+    # W-shaped (N, 512) banks broadcast to W+
+    lat2_path = tmp_path / "latents_w.pt"
+    torch.save(torch.randn(4, 512), str(lat2_path))
+    out_dir2 = cli.main([
+        "--stylegan_size", "32", "--attention_layer", "4",
+        "--cluster_layer", "4", "--batch_size", "1", "--step", "1",
+        "--latent_path", str(lat2_path),
+        "--save_intermediate_image_every", "0",
+        "--results_dir", str(tmp_path / "results2"),
+        "--ckpt", "/nonexistent", "--seed", "6",
+    ])
+    assert os.path.isdir(os.path.join(out_dir2, "final_mapper"))

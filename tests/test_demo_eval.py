@@ -1,0 +1,139 @@
+"""End-to-end coverage for cli/evaluate.py and demo/server.py (VERDICT r2
+weak #6) at toy generator size — random weights, real code paths."""
+
+import argparse
+import base64
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+
+def _tiny_args(**over):
+    from where2edit_tpu.demo.app import build_argparser
+
+    defaults = dict(ckpt="/nonexistent", mapper=None, clip_ckpt=None,
+                    e4e_ckpt=None, stylegan_size=32, attention_layer=4,
+                    cluster_layer=4)
+    defaults.update(over)
+    # go through the real argparser so the namespace matches the CLI surface
+    ns = build_argparser().parse_args([])
+    for k, v in defaults.items():
+        setattr(ns, k, v)
+    return ns
+
+
+@pytest.mark.slow
+def test_evaluate_edits_cli(tmp_path):
+    """'edits' mode: EditEvaluator through the real session edit path —
+    CLIP improvement ratio + feature-FID over random prompt edits
+    (utils.py:434-551)."""
+    from where2edit_tpu.cli import evaluate as cli
+
+    result = cli.main([
+        "edits", "--ckpt", "/nonexistent", "--stylegan_size", "32",
+        "--attention_layer", "4", "--cluster_layer", "4",
+        "--iterations", "2", "--batch", "2",
+        "--description_dir", str(tmp_path / "missing"),
+    ])
+    assert set(result) >= {"clip_improvement", "fid_features", "n"}
+    assert result["n"] == 4
+    assert 0.0 <= result["clip_improvement"] <= 1.0
+    assert np.isfinite(result["fid_features"])
+
+
+@pytest.mark.slow
+def test_evaluate_iou_cli(tmp_path):
+    """'iou' mode: invert → predict 8 region masks → remap CelebAMask labels
+    → jaccard, through the real harness (utils.py:654-726)."""
+    import torch
+    from PIL import Image
+
+    from oracle import require_reference
+
+    require_reference()
+    from models.encoders import psp_encoders  # ref import
+    from models.stylegan2.model import Generator as TorchGenerator
+
+    torch.manual_seed(0)
+    tenc = psp_encoders.Encoder4Editing(
+        50, "ir_se", argparse.Namespace(stylegan_size=32))
+    tgen = TorchGenerator(32, 512, 8, channel_multiplier=2)
+    sd = {f"encoder.{k}": v for k, v in tenc.state_dict().items()}
+    sd.update({f"decoder.{k}": v for k, v in tgen.state_dict().items()})
+    e4e_path = tmp_path / "e4e.pt"
+    torch.save({"state_dict": sd, "latent_avg": torch.randn(8, 512)},
+               e4e_path)
+
+    img_dir = tmp_path / "img"
+    lbl_dir = tmp_path / "lbl"
+    img_dir.mkdir(), lbl_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            img_dir / f"{i}.jpg")
+        Image.fromarray(
+            rng.integers(0, 14, (64, 64), dtype=np.uint8), mode="L").save(
+            lbl_dir / f"{i}.png")
+
+    from where2edit_tpu.cli import evaluate as cli
+
+    macro = cli.main([
+        "iou", "--ckpt", "/nonexistent", "--stylegan_size", "32",
+        "--attention_layer", "4", "--cluster_layer", "4",
+        "--e4e_ckpt", str(e4e_path),
+        "--img_path", str(img_dir), "--label_path", str(lbl_dir),
+    ])
+    assert 0.0 <= macro <= 1.0
+
+
+@pytest.mark.slow
+def test_demo_server_roundtrip():
+    """demo/server.py: start the stdlib HTTP server, GET the page, POST an
+    edit, decode the three returned JPEGs."""
+    import http.client
+
+    from http.server import ThreadingHTTPServer
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from where2edit_tpu.demo.app import load_session
+    from where2edit_tpu.demo.server import PAGE, make_handler
+    from where2edit_tpu.models.clip_tokenizer import tokenize
+
+    session, closs = load_session(_tiny_args())
+    session.load_synthetic(jax.random.PRNGKey(0))
+    session.edit(jnp.asarray(tokenize(["warmup"])))
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(session, closs, threading.Lock()))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/")
+        page = conn.getresponse().read().decode()
+        assert "Where You Edit" in page and page == PAGE
+
+        body = json.dumps({"seed": 1, "prompt": "grey hair",
+                           "region": "hair", "strength": 0.1,
+                           "coverage": 0.2})
+        conn.request("POST", "/edit", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert resp["ms"] > 0
+        for field in ("original", "edited"):
+            img = Image.open(io.BytesIO(base64.b64decode(resp[field])))
+            assert img.size == (32, 32)
+        # the attention map renders at the blend resolution (8² at 32px)
+        att = Image.open(io.BytesIO(base64.b64decode(resp["attention"])))
+        assert att.size[0] == att.size[1] >= 8
+    finally:
+        server.shutdown()
+        server.server_close()

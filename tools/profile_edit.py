@@ -32,8 +32,10 @@ from where2edit_tpu.models.stylegan2 import Generator  # noqa: E402
 
 
 def build(batch: int, size: int = 1024, att_layer: int = 13,
-          s2d_octaves: int = 1, dtype=jnp.bfloat16):
-    gen = Generator(size=size, dtype=dtype, s2d_octaves=s2d_octaves)
+          s2d_octaves: int = 1, dtype=jnp.bfloat16, fp32_head: int = 0,
+          rgb_dtype=jnp.float32):
+    gen = Generator(size=size, dtype=dtype, s2d_octaves=s2d_octaves,
+                    fp32_head_octaves=fp32_head, rgb_dtype=rgb_dtype)
     key = jax.random.PRNGKey(0)
     gvars = jax.jit(lambda: gen.init({"params": key, "noise": key},
                                      [jnp.zeros((1, 512))]))()
@@ -74,6 +76,7 @@ def parse_trace(trace_dir: str, top: int = 40):
                    if "TPU" in name or "/device" in name.lower()
                    or "xla" in name.lower()}
     total = 0.0
+    details = {}
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
@@ -82,11 +85,18 @@ def parse_trace(trace_dir: str, top: int = 40):
         name = e.get("name", "?")
         by_name[name] += e["dur"]
         total += e["dur"]
+        args = e.get("args") or {}
+        d = (args.get("long_name") or args.get("hlo_op")
+             or args.get("tf_op") or args.get("source") or "")
+        if d and name not in details:
+            details[name] = str(d)
     print(f"\n== top ops by accumulated device time "
           f"(total {total / 1e3:.2f} ms across reps) ==")
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{dur / 1e3:9.3f} ms  {100 * dur / max(total, 1e-9):5.1f}%  "
-              f"{name[:110]}")
+              f"{name[:60]}")
+        if name in details:
+            print(f"             {details[name][:220]}")
 
 
 def main():
@@ -95,6 +105,8 @@ def main():
     p.add_argument("--what", choices=["edit", "synth", "mapper"],
                    default="edit")
     p.add_argument("--s2d", type=int, default=1)
+    p.add_argument("--fp32_head", type=int, default=0)
+    p.add_argument("--rgb_bf16", action="store_true")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--out", type=str, default="/tmp/w2e_profile")
     args = p.parse_args()
@@ -103,7 +115,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     gen, gvars, mapper, mvars, text, out, feats, att = build(
-        args.batch, s2d_octaves=args.s2d)
+        args.batch, s2d_octaves=args.s2d, fp32_head=args.fp32_head,
+        rgb_dtype=jnp.bfloat16 if args.rgb_bf16 else jnp.float32)
 
     # variable trees as jit ARGUMENTS (constants compile ~100x slower here)
     if args.what == "edit":
@@ -135,7 +148,8 @@ def main():
     jax.block_until_ready(fn())  # compile
     t0 = time.time()
     jax.block_until_ready(fn())
-    print(f"[{args.what}] batch={args.batch} s2d={args.s2d}: "
+    print(f"[{args.what}] batch={args.batch} s2d={args.s2d} "
+          f"fp32_head={args.fp32_head}: "
           f"{(time.time() - t0) * 1e3:.2f} ms/step (incl. dispatch)")
 
     with jax.profiler.trace(args.out):

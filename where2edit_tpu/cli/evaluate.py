@@ -101,7 +101,7 @@ def main(argv=None):
         def edit_fn(key, text_feats):
             session.load_synthetic(key, truncation=args.truncation,
                                    batch=text_feats.shape[0])
-            img, _, _, _ = session._edit(
+            img, _, _ = session._edit(
                 text_features=text_feats, attention_text_features=text_feats,
                 latent=session.latent, feature_map=session.feature_map,
                 strength_alpha=jnp.float32(0.1),
@@ -136,6 +136,10 @@ def main(argv=None):
     if len(ds) == 0:
         raise SystemExit(f"no CelebAMask-HQ data under {args.img_path}")
 
+    # attention-map resolution of tap `attention_layer` (tap schedule:
+    # [4, 4, then 3 taps per octave] → 64 for layer 13 at 1024px, matching
+    # the reference's hard-coded 64² labels, utils.py:669-671)
+    map_size = 4 * 2 ** (args.attention_layer // 3)
     blend_size = None
 
     def invert(img_arr):
@@ -160,12 +164,12 @@ def main(argv=None):
             session.mapper_vars, text_feats, styles, feats, bs,
             train=False, finalize=False, deterministic_noise=True)
 
-    pairs = (ds.load(i, 256, 64) for i in range(min(len(ds), 90)))
+    pairs = (ds.load(i, 256, map_size) for i in range(min(len(ds), 90)))
     per_class, macro = calculate_iou(
         invert_fn=invert, features_fn=features, mapper_apply=mapper_apply,
         encode_text=closs.encode_text, tokenizer=tokenize,
         attention_layer=args.attention_layer,
-        image_label_pairs=pairs, blend_size=64)
+        image_label_pairs=pairs, blend_size=map_size)
     print(json.dumps({"per_class_iou": list(map(float, per_class)),
                       "macro_iou": macro}))
     return macro

@@ -68,6 +68,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--val_interval", type=int, default=2000)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 synthesis during training (losses stay fp32)")
+    p.add_argument("--use_mesh", action="store_true",
+                   help="shard the batch over a data mesh spanning all "
+                        "devices (the reference's multi-GPU DDP analogue)")
     return p
 
 
@@ -130,7 +133,8 @@ def main(argv=None):
         stylegan_size=args.stylegan_size, max_steps=args.max_steps,
         board_interval=args.board_interval,
         image_interval=args.image_interval,
-        save_interval=args.save_interval, val_interval=args.val_interval)
+        save_interval=args.save_interval, val_interval=args.val_interval,
+        use_mesh=args.use_mesh)
 
     train_latents = test_latents = None
     if args.latents_train_path:

@@ -80,6 +80,23 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_id", type=float, default=0.3)
     p.add_argument("--lambda_delta", type=float, default=0.008)
     p.add_argument("--step", type=int, default=300)
+    p.add_argument("--latent_path", type=str, default=None,
+                   help="train on loaded inverted latents instead of sampled "
+                        "z (run_attention.py:1571-1575): a torch .pt / "
+                        "native ckpt W+ tensor (N, n_latent, 512) or W "
+                        "(N, 512); every synthesis gathers a random row")
+    p.add_argument("--text_condition", action="store_true",
+                   help="condition on CLIP TEXT encodings of corpus phrases "
+                        "instead of image features (opt-in revival of the "
+                        "reference's dead text path, run_attention.py:"
+                        "1112-1124,1176)")
+    p.add_argument("--text_bank_size", type=int, default=256,
+                   help="phrases sampled into the text-conditioning bank")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel device count: shard the global batch "
+                        "over an N-device 'data' mesh (the reference's 8-way "
+                        "DDP launch, train_scripts.sh:2). -1 = all devices; "
+                        "0 = single device. batch_size must divide evenly.")
     p.add_argument("--truncation", type=float, default=0.7)
     p.add_argument("--work_in_stylespace", action="store_true")
     p.add_argument("--save_intermediate_image_every", type=int, default=20)
@@ -128,7 +145,17 @@ def main(argv=None):
 
     corpus = load_corpus(args.description_dir, None, args.own_description_dir,
                          rng)
-    phrases = corpus.phrases or [args.description]
+
+    mesh = None
+    if args.dp:
+        from where2edit_tpu.parallel.mesh import make_mesh  # noqa: PLC0415
+
+        n_dp = len(jax.devices()) if args.dp == -1 else args.dp
+        if args.batch_size % n_dp:
+            raise SystemExit(f"--batch_size {args.batch_size} not divisible "
+                             f"by --dp {n_dp}")
+        mesh = make_mesh(data=n_dp)
+        print(f"[dp] {n_dp}-device data mesh: {mesh}")
 
     gen, gvars, _ = build_generator(
         args.stylegan_size, args.ckpt, args.channel_multiplier,
@@ -150,6 +177,38 @@ def main(argv=None):
         vgg_vars = vgg.init(jax.random.PRNGKey(1),
                             jnp.zeros((1, 224, 224, 3)))
     perceptual = PerceptualLoss(vgg, vgg_vars, args.stylegan_size)
+
+    latent_bank = None
+    if args.latent_path:
+        lat = load_torch_state(args.latent_path)
+        if isinstance(lat, dict):  # native ckpt {"latents": ...}
+            lat = lat.get("latents", lat)
+        lat = np.asarray(lat, dtype=np.float32)
+        if lat.ndim == 2:  # W codes → broadcast to W+
+            lat = np.repeat(lat[:, None, :], gen.n_latent, axis=1)
+        if lat.ndim != 3 or lat.shape[1] != gen.n_latent:
+            raise SystemExit(f"--latent_path shape {lat.shape} incompatible "
+                             f"with (N, {gen.n_latent}, 512)")
+        latent_bank = jnp.asarray(lat)
+        print(f"[latent_path] {latent_bank.shape[0]} inverted latents loaded")
+
+    text_bank = None
+    if args.text_condition:
+        from where2edit_tpu.train.corpus import sample_training_texts  # noqa: PLC0415
+
+        if corpus.phrases:
+            # same single/pair mix the reference samples per step
+            # (run_attention.py:1112-1124), pre-sampled into a bank the
+            # jitted step gathers from
+            texts = sample_training_texts(corpus, args.text_bank_size, rng)
+        else:
+            texts = [args.description]
+        # encode in chunks of 64 to bound the CLIP text batch
+        chunks = [clip_loss.encode_text(jnp.asarray(tokenize(texts[i:i + 64])))
+                  for i in range(0, len(texts), 64)]
+        text_bank = jnp.concatenate(chunks, axis=0)
+        print(f"[text_condition] bank of {text_bank.shape[0]} phrase "
+              f"encodings from {len(corpus.phrases)} corpus phrases")
 
     clusters = args.cluster_num
     centers = None
@@ -226,7 +285,8 @@ def main(argv=None):
         perceptual=perceptual_fn, mean_latent=mean_w,
         mapper_extra_variables={k_: v for k_, v in mvars.items()
                                 if k_ not in ("params",)},
-        loss_variables={"clip": clip_vars, "vgg": vgg_vars})
+        loss_variables={"clip": clip_vars, "vgg": vgg_vars},
+        mesh=mesh, latent_bank=latent_bank, text_bank=text_bank)
 
     # region-prompt bank: CLIP-encode all fixed prompts ONCE; the jitted
     # step re-samples one per step + row-0 broadcast, so a trained run sees
@@ -265,11 +325,16 @@ def main(argv=None):
 
     render_one = jax.jit(render_one)
 
-    def _sample_eval(g_vars, mean_w_in, k, batch):
-        z_ev = jax.random.normal(k, (batch, 512))
-        w = gen.apply(g_vars, z_ev, method=gen.get_latent)
-        w = mean_w_in + args.truncation * (w - mean_w_in)
-        w_ev = jnp.repeat(w[:, None, :], gen.n_latent, axis=1)
+    def _sample_eval(g_vars, mean_w_in, bank, k, batch):
+        if bank is not None:
+            # --latent_path eval: a random loaded row (ref :1493-1494)
+            idx = jax.random.randint(k, (batch,), 0, bank.shape[0])
+            w_ev = bank[idx]
+        else:
+            z_ev = jax.random.normal(k, (batch, 512))
+            w = gen.apply(g_vars, z_ev, method=gen.get_latent)
+            w = mean_w_in + args.truncation * (w - mean_w_in)
+            w_ev = jnp.repeat(w[:, None, :], gen.n_latent, axis=1)
         out_ev = gen.apply(g_vars, [w_ev], input_is_latent=True,
                            randomize_noise=False, return_features=True)
         f_ev = list(out_ev.feature_map)
@@ -278,11 +343,12 @@ def main(argv=None):
         lat_ev = out_ev.style_vector if args.work_in_stylespace else w_ev
         return out_ev.image, lat_ev, f_ev
 
-    _sample_eval = jax.jit(_sample_eval, static_argnums=(3,))
+    _sample_eval = jax.jit(_sample_eval, static_argnums=(4,))
 
     def sample_eval_inputs(k, batch):
-        """Fresh truncated sample + feature taps (run_attention.py:1492-1512)."""
-        return _sample_eval(gvars, mean_w, k, batch)
+        """Fresh truncated sample + feature taps (run_attention.py:1492-1512);
+        the latent bank rides in as a jit ARGUMENT (never closed over)."""
+        return _sample_eval(gvars, mean_w, latent_bank, k, batch)
 
     def render_phrase_sweep(latents, feats_in, batch):
         """One (edited-img, attention) pair per own phrase."""
@@ -314,17 +380,21 @@ def main(argv=None):
                 opts=vars(args))
             if own_text_feats is not None:
                 # periodic own-phrase eval grid (run_attention.py:1436-1474):
-                # one row per phrase, fixed eval face
+                # one row per phrase, fixed eval face — phrases render at
+                # batch 1, so nrow=1 keeps the one-row-per-phrase layout
+                # regardless of the training batch size
                 imgs, amaps = render_phrase_sweep(eval_latents, eval_feats, 1)
+                nrow = 1
             else:
                 imgs, amaps = np.asarray(img), np.asarray(amap)
+                nrow = max(b, 1)
             save_image_grid(imgs,
                             os.path.join(output_dir, f"{i + 1:05d}.jpg"),
-                            nrow=max(b, 1), scale_each=True)
+                            nrow=nrow, scale_each=True)
             save_image_grid(amaps,
                             os.path.join(output_dir,
                                          f"attention{i + 1:05d}.jpg"),
-                            nrow=max(b, 1), value_range=(0, 1))
+                            nrow=nrow, value_range=(0, 1))
             video_f.write(f"file ./{i + 1:05d}.jpg\nduration 0.2\n")
         print(f"step {i}: " + "; ".join(f"{k_}={v:.4f}"
                                         for k_, v in scal.items()))

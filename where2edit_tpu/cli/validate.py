@@ -87,12 +87,15 @@ def validate_g_ema(path: str, size: int) -> dict:
     if ref is None:
         return _result("pass-unverified", checks=checks,
                        reason="torch reference unavailable for SSIM gate")
-    tgen = ref.Generator(size, 512, 8, channel_multiplier=2)
-    tgen.load_state_dict(sd)
-    tgen.eval()
-    with torch.no_grad():
-        img_ref, _ = tgen([torch.from_numpy(z)],
-                          noise=[torch.from_numpy(n) for n in noises])
+    from where2edit_tpu.convert.reference_oracle import patched_cuda  # noqa: PLC0415
+
+    with patched_cuda():
+        tgen = ref.Generator(size, 512, 8, channel_multiplier=2)
+        tgen.load_state_dict(sd)
+        tgen.eval()
+        with torch.no_grad():
+            img_ref, _ = tgen([torch.from_numpy(z)],
+                              noise=[torch.from_numpy(n) for n in noises])
     ref_img = jnp.asarray(img_ref.numpy().transpose(0, 2, 3, 1))
     ok = _gate("ssim_fp32", ssim(out.image, ref_img), 0.99, checks)
 
@@ -106,12 +109,12 @@ def validate_g_ema(path: str, size: int) -> dict:
 # ----------------------------------------------------------------- e4e / psp
 def validate_e4e(path: str, size: int) -> dict:
     from where2edit_tpu.convert.reference_oracle import load_reference_module
-    from where2edit_tpu.models.psp import pSp, get_keys
+    from where2edit_tpu.models.psp import PSp, get_keys
 
     import torch  # noqa: PLC0415
 
     ckpt = _load(path)
-    model = pSp.from_torch_checkpoint(ckpt, stylegan_size=size)
+    model = PSp.from_torch_checkpoint(ckpt, stylegan_size=size)
     rng = np.random.default_rng(10)
     x = rng.uniform(-1, 1, (1, 256, 256, 3)).astype(np.float32)
     codes = np.asarray(model.encoder.apply(model.encoder_vars,
@@ -123,13 +126,16 @@ def validate_e4e(path: str, size: int) -> dict:
     if ref is None:
         return _result("pass-unverified", checks=checks,
                        reason="torch reference unavailable for cosine gate")
+    from where2edit_tpu.convert.reference_oracle import patched_cuda  # noqa: PLC0415
+
     opts = argparse.Namespace(stylegan_size=size)
-    tenc = ref.Encoder4Editing(50, "ir_se", opts)
-    tenc.load_state_dict(get_keys(ckpt, "encoder"))
-    tenc.eval()
-    with torch.no_grad():
-        ref_codes = tenc(torch.from_numpy(
-            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+    with patched_cuda():
+        tenc = ref.Encoder4Editing(50, "ir_se", opts)
+        tenc.load_state_dict(get_keys(ckpt, "encoder"))
+        tenc.eval()
+        with torch.no_grad():
+            ref_codes = tenc(torch.from_numpy(
+                np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
     cos = np.mean(np.sum(codes * ref_codes, -1)
                   / (np.linalg.norm(codes, axis=-1)
                      * np.linalg.norm(ref_codes, axis=-1) + 1e-8))
@@ -158,13 +164,16 @@ def validate_ir_se50(path: str) -> dict:
     if ref is None:
         return _result("pass-unverified", checks=checks,
                        reason="torch reference unavailable for cosine gate")
-    tnet = ref.Backbone(input_size=112, num_layers=50, drop_ratio=0.6,
-                        mode="ir_se")
-    tnet.load_state_dict(sd)
-    tnet.eval()
-    with torch.no_grad():
-        ref_emb = tnet(torch.from_numpy(
-            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+    from where2edit_tpu.convert.reference_oracle import patched_cuda  # noqa: PLC0415
+
+    with patched_cuda():
+        tnet = ref.Backbone(input_size=112, num_layers=50, drop_ratio=0.6,
+                            mode="ir_se")
+        tnet.load_state_dict(sd)
+        tnet.eval()
+        with torch.no_grad():
+            ref_emb = tnet(torch.from_numpy(
+                np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
     cos = np.mean(np.sum(emb * ref_emb, -1)
                   / (np.linalg.norm(emb, axis=-1)
                      * np.linalg.norm(ref_emb, axis=-1) + 1e-8))

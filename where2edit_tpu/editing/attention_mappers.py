@@ -326,9 +326,37 @@ class FullSpaceMapperSpatialLin(fnn.Module):
         return MapperOutput(delta, amap, loss_delta, loss_reg, tv)
 
 
+class _Conv1x1Params(fnn.Module):
+    """Parameter holder with EqualConv2d's exact 1x1 param layout/init
+    (weight (1,1,in,out) ~ N(0,1), bias const) — same checkpoint tree, but
+    the weights are returned (equalized-LR pre-scaled) instead of applied,
+    so callers can compose consecutive 1x1 convs into one kernel."""
+    in_channel: int
+    out_channel: int
+    bias_init: float = 0.0
+
+    @fnn.compact
+    def __call__(self):
+        w = self.param("weight", fnn.initializers.normal(1.0),
+                       (1, 1, self.in_channel, self.out_channel))
+        b = self.param("bias", fnn.initializers.constant(self.bias_init),
+                       (self.out_channel,))
+        return w[0, 0] * (1.0 / math.sqrt(self.in_channel)), b
+
+
 class _FeatAttentionTrunk(fnn.Module):
-    """Shared W+ FEAT attention branch: per-tap 1x1 convs + concat head
-    (run_attention.py:395-446 / 465-559)."""
+    """Shared W+ FEAT attention branch (run_attention.py:395-446 / 465-559).
+
+    The reference runs one C_tap→32 1x1 conv per tap, concatenates the
+    17x32-channel maps and applies a 544→1 conv. Both convs are linear, and
+    nearest resize commutes with pointwise convs, so the whole trunk
+    composes exactly into one C_tap→1 conv per tap + a sum:
+
+        logits = Σ_c resize(x_c) @ (s_c W_c · s_L W_L[c-block]) + bias_eff
+
+    32x fewer MACs, no 544-channel concat intermediate, identical params
+    (same tree as the unfused EqualConv2d form → converters unchanged) and
+    identical gradients (same function of the same parameters)."""
     layers: int
     channel_multiplier: int = 2
     generator_size: int = 1024
@@ -338,18 +366,26 @@ class _FeatAttentionTrunk(fnn.Module):
         tables = attention_tables(self.generator_size, self.channel_multiplier)
         dim = tables["wplus_dims"]
         layer_num = tables["layer_num"]
-        att_feats = [_conv_then_resize(
-            EqualConv2d(dim[0], 32, 1, name="attention_first"),
-            feature_map[-1], size)]
-        for c in range(self.layers - 1):
-            att_feats.append(_conv_then_resize(
-                EqualConv2d(dim[c], 32, 1, name=f"attention_{c}"),
-                feature_map[layer_num[c]], size))
-        amap = jnp.concatenate(att_feats, axis=-1)
-        # reference inits this bias to 5 (run_attention.py:404,478)
-        amap = EqualConv2d(32 * self.layers, 1, 1, bias_init=5.0,
-                           name="attention_last")(amap)
-        return amap
+        # reference inits the head bias to 5 (run_attention.py:404,478)
+        w_last, b_last = _Conv1x1Params(32 * self.layers, 1, bias_init=5.0,
+                                        name="attention_last")()
+        taps = [(feature_map[-1], dim[0], "attention_first")]
+        taps += [(feature_map[layer_num[c]], dim[c], f"attention_{c}")
+                 for c in range(self.layers - 1)]
+        logits = None
+        bias_eff = b_last.astype(jnp.float32)
+        for idx, (feat, d, name) in enumerate(taps):
+            w, b = _Conv1x1Params(d, 32, name=name)()
+            w_l = w_last[idx * 32:(idx + 1) * 32]          # (32, 1)
+            w_eff = w @ w_l                                 # (C_tap, 1)
+            bias_eff = bias_eff + b @ w_l
+            if feat.shape[1] > size:
+                feat = interpolate_nearest(feat, size)
+            y = jnp.einsum("bhwc,co->bhwo", feat, w_eff.astype(feat.dtype))
+            if y.shape[1] < size:
+                y = interpolate_nearest(y, size)
+            logits = y if logits is None else logits + y
+        return logits + bias_eff.astype(logits.dtype)
 
 
 class FullSpaceMapperFEATLin(fnn.Module):

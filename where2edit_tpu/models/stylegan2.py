@@ -89,6 +89,16 @@ class Generator(fnn.Module):
     # 16-32ch full-res convs waste. Exact (weight transforms), but masked
     # blending inside the s2d region is unsupported (asserted).
     s2d_octaves: int = 0
+    # with a bf16 ``dtype``, run the FIRST N octaves (plus the 4x4 stem) in
+    # fp32 and switch to bf16 after: early-octave rounding compounds through
+    # every later conv+demod, so pinning the cheap low-res layers recovers
+    # most of the fp32 SSIM at ~1% of the fp32 cost (the last octaves hold
+    # >75% of the FLOPs). 0 = all-bf16 (stem included).
+    fp32_head_octaves: int = 0
+    # dtype of the accumulating RGB skip chain (see nn.layers.ToRGB): fp32
+    # default; bf16 halves the chain's (padding-dominated) HBM traffic for
+    # serving. The returned image is in this dtype.
+    rgb_dtype: jnp.dtype = jnp.float32
 
     @property
     def log_size(self) -> int:
@@ -115,7 +125,8 @@ class Generator(fnn.Module):
         self.input = ConstantInput(channels[4])
         self.conv1 = StyledConv(channels[4], channels[4], 3, self.style_dim,
                                 blur_kernel=self.blur_kernel)
-        self.to_rgb1 = ToRGB(channels[4], self.style_dim, upsample=False)
+        self.to_rgb1 = ToRGB(channels[4], self.style_dim, upsample=False,
+                             rgb_dtype=self.rgb_dtype)
 
         convs, to_rgbs = [], []
         in_ch = channels[4]
@@ -125,7 +136,8 @@ class Generator(fnn.Module):
                                     upsample=True, blur_kernel=self.blur_kernel))
             convs.append(StyledConv(out_ch, out_ch, 3, self.style_dim,
                                     blur_kernel=self.blur_kernel))
-            to_rgbs.append(ToRGB(out_ch, self.style_dim))
+            to_rgbs.append(ToRGB(out_ch, self.style_dim,
+                                 rgb_dtype=self.rgb_dtype))
             in_ch = out_ch
         self.convs = convs
         self.to_rgbs = to_rgbs
@@ -243,9 +255,11 @@ class Generator(fnn.Module):
             taps.append(x)
             return x
 
+        # stem runs fp32 whenever any head octave is pinned fp32
+        stem_dtype = jnp.float32 if self.fp32_head_octaves > 0 else self.dtype
         if not input_is_stylespace:
             batch = latent.shape[0]
-            out = self.input(batch).astype(self.dtype)
+            out = self.input(batch).astype(stem_dtype)
             out, s = self.conv1(out, latent[:, 0], noise=noise[0])
             out = tap(out)
             style_vector.append(s)
@@ -257,7 +271,7 @@ class Generator(fnn.Module):
             step = 2
         else:
             batch = latent[0].shape[0]
-            out = self.input(batch).astype(self.dtype)
+            out = self.input(batch).astype(stem_dtype)
             out, s = self.conv1(out, latent[0], noise=noise[0],
                                 input_is_stylespace=True)
             out = tap(out)
@@ -285,6 +299,8 @@ class Generator(fnn.Module):
             n1 = noise[1 + 2 * oct_idx]
             n2 = noise[2 + 2 * oct_idx]
             use_s2d = oct_idx >= s2d_start
+            if self.fp32_head_octaves > 0 and oct_idx == self.fp32_head_octaves:
+                out = out.astype(self.dtype)  # fp32 head → bf16 tail
 
             if prev_s2d:
                 # hand off between s2d octaves in pixel layout (one cheap

@@ -521,11 +521,20 @@ def _skip_upsample_s2d_kernel(blur_kernel, channels: int) -> jnp.ndarray:
 
 
 class ToRGB(fnn.Module):
-    """1x1 modulated conv to RGB + skip upsample-add (model.py:343-362)."""
+    """1x1 modulated conv to RGB + skip upsample-add (model.py:343-362).
+
+    ``rgb_dtype``: compute/storage dtype of the accumulating skip chain.
+    fp32 by default; bf16 is the serving policy — every rgb/skip tensor has
+    3 (or 12, s2d) channels in the minor dim, which the TPU pads to 128
+    lanes, so the chain's bandwidth is dominated by padding and halving the
+    element size halves the real traffic (profiled: the rgb chain was ~45%
+    of a 1024² synthesis step at fp32).
+    """
     in_channel: int
     style_dim: int
     upsample: bool = True
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    rgb_dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
     def __call__(self, x, style, skip=None, input_is_stylespace: bool = False,
@@ -541,27 +550,27 @@ class ToRGB(fnn.Module):
         )(x, style, input_is_stylespace=input_is_stylespace,
           s2d_in=s2d_in, s2d_out=s2d_in)
         bias = self.param("bias", fnn.initializers.zeros, (1, 1, 1, 3))
+        rdt = self.rgb_dtype
         if s2d_in and defer_d2s:
             # stay in s2d: bias tiles phase-major; the skip upsample is a
             # stride-1 phase conv emitting s2d directly
-            out = out.astype(jnp.float32) + jnp.tile(bias, (1, 1, 1, 4))
+            out = out.astype(rdt) + jnp.tile(bias, (1, 1, 1, 4)).astype(rdt)
             if skip is not None:
                 kern = _skip_upsample_s2d_kernel(self.blur_kernel,
                                                  skip.shape[-1])
                 skip_s2d = lax.conv_general_dilated(
-                    skip.astype(jnp.float32), kern, (1, 1), ((1, 1), (1, 1)),
+                    skip.astype(rdt), kern.astype(rdt), (1, 1),
+                    ((1, 1), (1, 1)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 out = out + skip_s2d
             return out, s
         if s2d_in:
             out = depth_to_space(out)  # rgb is tiny — back to pixels here
-        # the RGB skip chain accumulates across every octave — keep it fp32
-        # even under a bf16 synthesis policy (3 channels: cost is nil)
-        out = out.astype(jnp.float32)
-        out = out + bias
+        out = out.astype(rdt)
+        out = out + bias.astype(rdt)
         if skip is not None:
             skip = Upsample(self.blur_kernel, name="upsample")(
-                skip.astype(jnp.float32))
+                skip.astype(rdt))
             out = out + skip
         return out, s
 

@@ -171,7 +171,8 @@ def upfirdn2d(x: jnp.ndarray, kernel, up: int = 1, down: int = 1,
     flipped = jnp.asarray(kernel[::-1, ::-1].copy())
 
     import os
-    impl = os.environ.get("W2E_UPFIRDN_IMPL", "shift_add")
+    impl_env = os.environ.get("W2E_UPFIRDN_IMPL")
+    impl = impl_env or "shift_add"
 
     # tiny channel counts (the RGB skip chain): one DENSE conv with
     # lhs_dilation. The shift-add path's phase interleave lowers to
@@ -179,8 +180,12 @@ def upfirdn2d(x: jnp.ndarray, kernel, up: int = 1, down: int = 1,
     # (profiled: ~25% of a 1024² synthesis step was these copies); a dense
     # (kh,kw,C,C) diagonal kernel is one implicit-dilation conv pass with
     # no materialized intermediates, and at C=3 the padded MACs are noise.
+    # Auto-selected only when W2E_UPFIRDN_IMPL is unset, so an explicit
+    # `shift_add`/`conv` setting always gets the named implementation;
+    # `dense` forces this path regardless of channel count.
     c = x.shape[-1]
-    if impl != "conv" and c <= 8 and up >= 1 and down == 1:
+    if ((impl == "dense" or (impl_env is None and c <= 8))
+            and up >= 1 and down == 1):
         rhs = flipped[:, :, None, None] * jnp.eye(c, dtype=x.dtype)
         return lax.conv_general_dilated(
             x, rhs.astype(x.dtype), window_strides=(1, 1), padding=padding,

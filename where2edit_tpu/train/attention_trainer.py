@@ -93,8 +93,23 @@ class AttentionTrainer:
                  mapper, mapper_params, encode_image: Callable,
                  perceptual: Callable, mean_latent: jnp.ndarray,
                  mapper_extra_variables: Optional[dict] = None,
-                 mesh=None, loss_variables: Optional[dict] = None):
+                 mesh=None, loss_variables: Optional[dict] = None,
+                 latent_bank: Optional[jnp.ndarray] = None,
+                 text_bank: Optional[jnp.ndarray] = None):
         self.cfg = cfg
+        # --latent_path mode (run_attention.py:1184-1186): instead of
+        # sampling z, every synthesis gathers a random row from this
+        # (N, n_latent, 512) bank of pre-inverted W+ latents (no truncation —
+        # the loaded codes are already in W+, ref :1571-1575).
+        self.latent_bank = (None if latent_bank is None
+                            else jnp.asarray(latent_bank))
+        # opt-in text conditioning: (K, 512) CLIP text encodings of corpus
+        # phrases; a random row per sample becomes the conditioning feature
+        # instead of CLIP image features. The reference computes this per
+        # step (run_attention.py:1112-1124, `text_features_origin`) but then
+        # discards it for image features (:1176) — this revives that path
+        # behind a flag, saving the batch-1 synthesis + CLIP image pass.
+        self.text_bank = None if text_bank is None else jnp.asarray(text_bank)
         # encode_image(loss_variables, img) / perceptual(loss_variables, a, b)
         # — loss weights (CLIP/VGG) are threaded through the jitted step as
         # ARGUMENTS, like gen_vars and the mapper extras. Weights closed
@@ -126,33 +141,40 @@ class AttentionTrainer:
         def step_fn(mapper_params, opt_state, step_idx, key, bank):
             return self._jit_step(self.gen_vars, self.mapper_variables_extra,
                                   self.loss_variables, mapper_params,
-                                  opt_state, step_idx, key, bank)
+                                  opt_state, step_idx, key, bank,
+                                  self.latent_bank, self.text_bank)
 
         self.step_fn = step_fn
 
     # ------------------------------------------------------------- plumbing
-    def _synthesize(self, gen_vars, z):
-        """z → truncated W+ → (img, latent(s), styles, features+const).
-
-        The truncated W+ comes from the style MLP directly (mean_latent +
-        t·(w − mean_latent), model.py:496-504) — running the full generator
-        just to read ``.latent`` (as the eager reference does,
-        run_attention.py:1090-1093) would ship a dead synthesis body to the
-        compiler for every call.
-        """
+    def _truncated_wplus(self, gen_vars, z):
+        """z → truncated W+. The truncated W+ comes from the style MLP
+        directly (mean_latent + t·(w − mean_latent), model.py:496-504) —
+        running the full generator just to read ``.latent`` (as the eager
+        reference does, run_attention.py:1090-1093) would ship a dead
+        synthesis body to the compiler for every call."""
         g = self.generator
         w = g.apply(gen_vars, z, method=g.get_latent)
         w = self.mean_latent + self.cfg.truncation * (w - self.mean_latent)
-        wplus = jnp.repeat(w[:, None, :], g.n_latent, axis=1)
+        return jnp.repeat(w[:, None, :], g.n_latent, axis=1)
+
+    def _synthesize_wplus(self, gen_vars, wplus):
+        """W+ → (img, wplus, styles, features+const)."""
+        g = self.generator
         out = g.apply(gen_vars, [wplus], input_is_latent=True,
                       randomize_noise=False, return_features=True)
         feats = list(out.feature_map)
         # append the const input tap (run_attention.py:1110)
-        batch = z.shape[0]
+        batch = wplus.shape[0]
         const = gen_vars["params"]["input"]["input"]
         feats.append(jnp.broadcast_to(const,
                                       (batch, *const.shape[1:])))
         return out.image, wplus, out.style_vector, feats
+
+    def _synthesize(self, gen_vars, z):
+        """z → truncated W+ → (img, wplus, styles, features+const)."""
+        return self._synthesize_wplus(gen_vars,
+                                      self._truncated_wplus(gen_vars, z))
 
     def _mapper_forward(self, mapper_params, mapper_extra, cond_features,
                         latent, styles, feats, attention_text
@@ -177,7 +199,8 @@ class AttentionTrainer:
 
     # ----------------------------------------------------------------- step
     def _step(self, gen_vars, mapper_extra, loss_vars, mapper_params,
-              opt_state, step_idx, key, attention_text_bank):
+              opt_state, step_idx, key, attention_text_bank,
+              latent_bank=None, text_bank=None):
         """One training step.
 
         ``attention_text_bank`` is a (K, D) table of CLIP encodings of the K
@@ -188,6 +211,14 @@ class AttentionTrainer:
         then broadcast (the reference's dist.broadcast(src=0),
         run_attention.py:1141-1144), so one prompt drives the whole global
         batch each step, and all K prompts are seen over a run.
+
+        ``latent_bank`` (optional, (N, n_latent, 512)): --latent_path mode —
+        each synthesis gathers a random pre-inverted W+ row instead of
+        sampling z (run_attention.py:1184-1186).
+        ``text_bank`` (optional, (K, 512)): text-conditioning mode — the
+        conditioning features are gathered text encodings instead of CLIP
+        image features of a fresh batch (revives run_attention.py:1112-1124's
+        otherwise-dead path; skips the batch-1 synthesis + CLIP image pass).
         """
         cfg = self.cfg
         k1, k2, k3 = jax.random.split(key, 3)
@@ -205,6 +236,17 @@ class AttentionTrainer:
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(self.mesh, spec))
 
+        def sample_wplus(k):
+            """Fresh W+ batch: truncated z-sample, or a random row of the
+            loaded latent bank in --latent_path mode (no truncation — the
+            codes are already W+, run_attention.py:1571-1575)."""
+            if latent_bank is not None:
+                idx = jax.random.randint(k, (cfg.batch_size,), 0,
+                                         latent_bank.shape[0])
+                return shard_batch(latent_bank[idx])
+            z = shard_batch(jax.random.normal(k, (cfg.batch_size, 512)))
+            return self._truncated_wplus(gen_vars, z)
+
         # batch 1: conditioning features (CLIP image embeddings of fresh
         # faces; run_attention.py:1163-1172 — the text/perturb variants are
         # dead code, image features win)
@@ -212,15 +254,22 @@ class AttentionTrainer:
         # Both no-grad syntheses run through ONE lax.map body: the compiler
         # sees a single synthesis computation instead of two copies (the
         # remote compile service is the bottleneck, not device time).
-        z1 = shard_batch(jax.random.normal(k1, (cfg.batch_size, 512)))
-        z2 = shard_batch(jax.random.normal(k2, (cfg.batch_size, 512)))
-        imgs, wpluses, styles_m, feats_m = jax.lax.map(
-            lambda zz: self._synthesize(gen_vars, zz), jnp.stack([z1, z2]))
-        cond_features = jax.lax.stop_gradient(
-            self.encode_image(loss_vars, imgs[0]))
-        img2, wplus2 = imgs[1], wpluses[1]
-        styles2 = [s[1] for s in styles_m]
-        feats2 = [f[1] for f in feats_m]
+        if text_bank is not None:
+            cidx = jax.random.randint(k1, (cfg.batch_size,), 0,
+                                      text_bank.shape[0])
+            cond_features = jax.lax.stop_gradient(
+                shard_batch(text_bank[cidx]))
+            img2, wplus2, styles2, feats2 = self._synthesize_wplus(
+                gen_vars, sample_wplus(k2))
+        else:
+            wp12 = jnp.stack([sample_wplus(k1), sample_wplus(k2)])
+            imgs, wpluses, styles_m, feats_m = jax.lax.map(
+                lambda wp: self._synthesize_wplus(gen_vars, wp), wp12)
+            cond_features = jax.lax.stop_gradient(
+                self.encode_image(loss_vars, imgs[0]))
+            img2, wplus2 = imgs[1], wpluses[1]
+            styles2 = [s[1] for s in styles_m]
+            feats2 = [f[1] for f in feats_m]
         img2, wplus2 = _broadcast_row0(img2), _broadcast_row0(wplus2)
         styles2 = _broadcast_row0(styles2)
         feats2 = _broadcast_row0(feats2)

@@ -83,7 +83,9 @@ def load_corpus(celeba_caption_dir: str | None = None,
 def sample_training_texts(corpus: Corpus, batch: int,
                           rng: random.Random) -> list[str]:
     """Per-step text sampling (run_attention.py:1112-1123): each sample is a
-    single phrase or a gaussian-gated 'A and B' pair."""
+    single phrase or a gaussian-gated 'A and B' pair. Powers the CLI's
+    opt-in ``--text_condition`` bank (the reference computes these per step
+    but discards them for image features, :1176 — see COMPONENTS.md)."""
     phrases = corpus.phrases
     singles = [phrases[rng.randrange(len(phrases))] for _ in range(batch)]
     pairs = [

@@ -145,8 +145,12 @@ class MakeCutouts:
     Deviation (documented): the reference lanczos-prefilters each crop before
     resizing (utils.py:339-358 ``resample``); with traced crop sizes the
     prefilter width would be dynamic, so crops are sampled bilinearly at
-    traced coordinates instead (``crop_resize_bilinear``). The static-size
-    ``resample`` keeps the exact lanczos path for non-jit callers."""
+    traced coordinates instead (``crop_resize_bilinear``), with a fixed 2x
+    average-pool prefilter selected per cut whenever the sampled crop is
+    more than 2x the cut size (bounds the worst-case aliasing of large
+    crops; both branches have static shapes so the select is jit-safe). The
+    static-size ``resample`` keeps the exact lanczos path for non-jit
+    callers."""
 
     def __init__(self, cut_size: int, cutn: int, cut_pow: float = 1.0,
                  noise_fac: float = 0.1):
@@ -159,6 +163,12 @@ class MakeCutouts:
         _, h, w, _ = x.shape
         max_size = min(h, w)
         min_size = min(h, w, self.cut_size)
+        # fixed 2x antialias level (static shapes): crops larger than
+        # 2*cut_size sample from here with halved coordinates
+        x_half = None
+        if max_size > 2 * self.cut_size and h % 2 == 0 and w % 2 == 0:
+            x_half = 0.25 * (x[:, ::2, ::2] + x[:, 1::2, ::2]
+                             + x[:, ::2, 1::2] + x[:, 1::2, 1::2])
         cuts = []
         for _ in range(self.cutn):
             key, k1, k2, k3, k4 = jax.random.split(key, 5)
@@ -170,6 +180,10 @@ class MakeCutouts:
             ox = jnp.floor(jax.random.uniform(k3) * (w - size + 1))
             cut = crop_resize_bilinear(x, oy, ox, size,
                                        self.cut_size)
+            if x_half is not None:
+                cut_aa = crop_resize_bilinear(x_half, oy / 2, ox / 2,
+                                              size / 2, self.cut_size)
+                cut = jnp.where(size > 2 * self.cut_size, cut_aa, cut)
             flip = jax.random.bernoulli(k4)
             cut = jnp.where(flip, cut[:, :, ::-1, :], cut)
             cuts.append(cut)
