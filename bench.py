@@ -60,13 +60,16 @@ ATT_LAYER = 13
 BASELINE_PER_CHIP = 50.0 / 8.0
 
 
+from where2edit_tpu.utils.profiling import sync_fetch as sync  # noqa: E402
+
+
 def timeit(fn, *args, reps=3):
     """Median wall time of fn(*args) (already-compiled jit callable)."""
-    jax.block_until_ready(fn(*args))  # compile + warm
+    sync(fn(*args))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
         ts.append(time.time() - t0)
     return float(np.median(ts))
 
@@ -75,10 +78,13 @@ def main():
     key = jax.random.PRNGKey(0)
     results = {}
 
-    # bf16 synthesis policy (SSIM(bf16,fp32) > 0.99 fp32 demod + RGB chain)
-    # + space-to-depth final octave (exact; the 1024²x32ch convs run as
-    # 512²x128ch and fill the MXU tiles) — serving path
-    gen = Generator(size=SIZE, dtype=jnp.bfloat16, s2d_octaves=1)
+    # bf16 synthesis policy + bf16 RGB skip chain (the 3/12-channel chain is
+    # padded to 128 lanes on TPU, so halving element size halves its real
+    # traffic — PERF.md; SSIM cost ~0.006 on random weights) + space-to-depth
+    # final octave (exact; the 1024²x32ch convs run as 512²x128ch and fill
+    # the MXU tiles) — serving path
+    gen = Generator(size=SIZE, dtype=jnp.bfloat16, s2d_octaves=1,
+                    rgb_dtype=jnp.bfloat16)
     init_z = [jnp.zeros((1, 512))]
     gvars = jax.jit(lambda: gen.init({"params": key, "noise": key}, init_z))()
 
@@ -173,20 +179,37 @@ def main():
         invert_loop = stage_loop(invert_body)
 
         def capture_body(i, gv, w):
+            from where2edit_tpu.demo.api import subsample_for_mapper  # noqa: PLC0415
+
             cap = gen.apply(gv, [w + 1e-4 * i], input_is_latent=True,
                             randomize_noise=False, return_features=True)
-            # consume every tap so the capture pass can't be DCE'd
+            blend_c = cap.feature_map[ATT_LAYER - 1].shape[1]
+            small = subsample_for_mapper(cap.feature_map, blend_c)
+            # consume every tap (incl. the session's per-face mapper
+            # subsample) so the capture pass can't be DCE'd
             return (jnp.mean(cap.image)
                     + sum(jnp.mean(f) for f in cap.feature_map)
+                    + sum(jnp.mean(f) for f in small)
                     + sum(jnp.mean(s) for s in cap.style_vector))
         capture_loop = stage_loop(capture_body)
 
-        def edit_body(i, gv, mv, texts, styles, fm):
+        # mapper taps are pre-subsampled at capture time (EditSession
+        # semantics — paid once per face, demo/api.subsample_for_mapper);
+        # the per-edit program then reads only blend-size tensors + the
+        # blend-layer taps
+        from where2edit_tpu.demo.api import subsample_for_mapper  # noqa: PLC0415
+
+        blend = feats_b[ATT_LAYER - 1].shape[1]
+        small_b = jax.jit(
+            lambda fm: subsample_for_mapper(fm, blend))(feats_b)
+
+        def edit_body(i, gv, mv, texts, styles, fm, mfm):
             img, _, amap, _ = one_text_edit(
                 generator=gen, gen_vars=gv, mapper=mapper,
                 mapper_vars=mv, text_features=texts[i],
                 attention_text_features=texts[i], latent=styles,
-                feature_map=fm, attention_layer=ATT_LAYER,
+                feature_map=fm, mapper_feature_map=mfm,
+                attention_layer=ATT_LAYER,
                 work_in_stylespace=True)
             return jnp.mean(img) + jnp.mean(amap)
         edit_loop = stage_loop(edit_body)
@@ -195,7 +218,8 @@ def main():
             "text_encode": (text_loop, (clip_vars, tokens)),
             "invert": (invert_loop, (evars, img256)),
             "capture": (capture_loop, (gvars, wplus0)),
-            "edit": (edit_loop, (gvars, mvars, texts_b, styles_b, feats_b)),
+            "edit": (edit_loop, (gvars, mvars, texts_b, styles_b, feats_b,
+                                 small_b)),
         }
         return stage_args
 
@@ -302,12 +326,11 @@ def main():
         return trainer.step_fn(params, opt_state, jnp.asarray(1.0),
                                jax.random.PRNGKey(8), bank)
 
-    res = jax.block_until_ready(train_once(trainer.mapper_params,
-                                           trainer.opt_state))
+    res = sync(train_once(trainer.mapper_params, trainer.opt_state))
     ts = []
     for _ in range(3):
         t0 = time.time()
-        res = jax.block_until_ready(train_once(res[0], res[1]))
+        res = sync(train_once(res[0], res[1]))
         ts.append(time.time() - t0)
     dt = float(np.median(ts))
     results["train_steps_per_sec_per_chip"] = round(1.0 / dt, 3)

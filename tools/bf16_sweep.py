@@ -47,14 +47,16 @@ def main(size=256):
     zj = [jnp.asarray(z.numpy())]
     nj = [jnp.asarray(t2j(n, nhwc=True)) for n in noise]
 
-    n_oct = int(np.log2(size)) - 2
-    for head in range(0, n_oct + 1):
-        gen = Generator(size=size, dtype=jnp.bfloat16,
-                        fp32_head_octaves=head)
-        out = jax.jit(lambda v, zz, nn, g=gen: g.apply(
-            v, zz, noise=nn))(variables, zj, nj)
-        s = float(ssim(out.image, ref_img))
-        print(f"fp32_head_octaves={head}: ssim={s:.5f}", flush=True)
+    for head in (0, 1, 2, 3, 4):
+        for rgb16 in (False, True):
+            gen = Generator(size=size, dtype=jnp.bfloat16,
+                            fp32_head_octaves=head,
+                            rgb_dtype=jnp.bfloat16 if rgb16 else jnp.float32)
+            out = jax.jit(lambda v, zz, nn, g=gen: g.apply(
+                v, zz, noise=nn))(variables, zj, nj)
+            s = float(ssim(out.image.astype(jnp.float32), ref_img))
+            print(f"fp32_head={head} rgb_bf16={int(rgb16)}: ssim={s:.5f}",
+                  flush=True)
 
     gen = Generator(size=size)
     out = jax.jit(lambda v, zz, nn, g=gen: g.apply(

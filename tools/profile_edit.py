@@ -120,16 +120,21 @@ def main():
 
     # variable trees as jit ARGUMENTS (constants compile ~100x slower here)
     if args.what == "edit":
+        from where2edit_tpu.demo.api import subsample_for_mapper  # noqa: PLC0415
+
+        blend = feats[att - 1].shape[1]
+        small = jax.jit(lambda fm: subsample_for_mapper(fm, blend))(feats)
+
         @jax.jit
-        def step(gv, mv, text, styles, feats):
+        def step(gv, mv, text, styles, feats, mfeats):
             img, _, amap, _ = one_text_edit(
                 generator=gen, gen_vars=gv, mapper=mapper,
                 mapper_vars=mv, text_features=text,
                 attention_text_features=text, latent=styles,
-                feature_map=feats, attention_layer=att,
-                work_in_stylespace=True)
+                feature_map=feats, mapper_feature_map=mfeats,
+                attention_layer=att, work_in_stylespace=True)
             return img, amap
-        fn = lambda: step(gvars, mvars, text, out.style_vector, feats)  # noqa: E731
+        fn = lambda: step(gvars, mvars, text, out.style_vector, feats, small)  # noqa: E731
     elif args.what == "synth":
         @jax.jit
         def step(gv, styles):
@@ -145,16 +150,21 @@ def main():
                                 train=False, deterministic_noise=True)
         fn = lambda: step(mvars, text, out.style_vector, feats)  # noqa: E731
 
-    jax.block_until_ready(fn())  # compile
+    from where2edit_tpu.utils.profiling import sync_fetch  # noqa: E402,PLC0415
+
+    sync_fetch(fn())  # compile
     t0 = time.time()
-    jax.block_until_ready(fn())
+    sync_fetch(fn())
     print(f"[{args.what}] batch={args.batch} s2d={args.s2d} "
           f"fp32_head={args.fp32_head}: "
           f"{(time.time() - t0) * 1e3:.2f} ms/step (incl. dispatch)")
 
+    # fence each rep with a fetch: block_until_ready resolves early on the
+    # axon tunnel, which would exit the trace context before the device
+    # finishes and truncate the captured events
     with jax.profiler.trace(args.out):
         for _ in range(args.reps):
-            jax.block_until_ready(fn())
+            sync_fetch(fn())
     parse_trace(args.out)
 
 

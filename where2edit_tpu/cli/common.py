@@ -37,7 +37,8 @@ def load_torch_state(path: str):
 
 def build_generator(size: int, ckpt_path: str | None,
                     channel_multiplier: int = 2,
-                    dtype: jnp.dtype = jnp.float32, s2d_octaves: int = 0):
+                    dtype: jnp.dtype = jnp.float32, s2d_octaves: int = 0,
+                    rgb_dtype: jnp.dtype = jnp.float32):
     """Generator + variables (converted from a rosinality checkpoint when
     given, random init otherwise) + mean latent helper.
 
@@ -46,7 +47,8 @@ def build_generator(size: int, ckpt_path: str | None,
     while params, demodulation and the RGB chain stay fp32.
     """
     gen = Generator(size=size, channel_multiplier=channel_multiplier,
-                    dtype=dtype, s2d_octaves=s2d_octaves)
+                    dtype=dtype, s2d_octaves=s2d_octaves,
+                    rgb_dtype=rgb_dtype)
     if ckpt_path and os.path.isfile(ckpt_path):
         ckpt = load_torch_state(ckpt_path)
         sd = ckpt.get("g_ema", ckpt)

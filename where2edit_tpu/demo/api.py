@@ -16,6 +16,19 @@ import jax.numpy as jnp
 
 from where2edit_tpu.editing.masks import demo_threshold
 from where2edit_tpu.ops.gaussian_blur import gaussian_blur
+from where2edit_tpu.ops.interpolate import interpolate_nearest
+
+
+def subsample_for_mapper(feature_map, blend_size: int):
+    """Nearest-subsample every tap larger than the blend size (exact: the
+    mapper's att convs are pointwise, so conv∘subsample = subsample∘conv).
+
+    The per-edit program otherwise pays a strided gather over each full-res
+    tap (profiled 1.5 ms/tap at 1024² batch 8) plus input relayout copies of
+    taps the edit never reads at full resolution — pre-subsampling at
+    capture time moves that cost to once per face (PERF.md)."""
+    return [interpolate_nearest(f, blend_size) if f.shape[1] > blend_size
+            else f for f in feature_map]
 
 
 def one_text_edit(*, generator, gen_vars, mapper, mapper_vars,
@@ -23,14 +36,21 @@ def one_text_edit(*, generator, gen_vars, mapper, mapper_vars,
                   attention_layer: int, work_in_stylespace: bool = True,
                   strength_alpha: float = 0.1,
                   attention_threshold: float = 0.75,
-                  deterministic_noise: bool = True):
+                  deterministic_noise: bool = True,
+                  mapper_feature_map=None):
     """Edit one batch. ``latent``: W+ (B,L,512) or list of S-space (B,C).
+
+    ``mapper_feature_map``: optional pre-subsampled taps (see
+    ``subsample_for_mapper``) consumed by the mapper; ``feature_map`` is
+    still the blend source. Defaults to ``feature_map``.
 
     Returns (img_gen, new_latents, attention_map, new_feature_map).
     """
     blend_size = feature_map[attention_layer - 1].shape[1]
+    m_feats = (feature_map if mapper_feature_map is None
+               else mapper_feature_map)
     if work_in_stylespace:
-        mo = mapper.apply(mapper_vars, text_features, latent, feature_map,
+        mo = mapper.apply(mapper_vars, text_features, latent, m_feats,
                           blend_size, attention_text=attention_text_features,
                           train=False, strength_alpha=strength_alpha,
                           pooled_map=True, finalize=False,
@@ -38,7 +58,7 @@ def one_text_edit(*, generator, gen_vars, mapper, mapper_vars,
         new_latents = mo.latents
         gen_in = new_latents
     else:
-        mo = mapper.apply(mapper_vars, text_features, latent, feature_map,
+        mo = mapper.apply(mapper_vars, text_features, latent, m_feats,
                           blend_size, attention_text=attention_text_features,
                           train=False)
         new_latents = latent + mo.latents
@@ -77,6 +97,7 @@ class EditSession:
         self.work_in_stylespace = work_in_stylespace
         self.latent = None
         self.feature_map = None
+        self.mapper_feature_map = None
         self.image = None
         # strength/threshold stay *traced* so slider moves don't recompile.
         # Only (img, latents, map) leave the program — the edited feature
@@ -102,10 +123,18 @@ class EditSession:
                 truncation_latent=mean, return_latents=True,
                 randomize_noise=False).latent,
             static_argnums=(2, 4))  # generator branches on truncation < 1
-        self._capture_fn = jax.jit(
-            lambda g_vars, w: self.generator.apply(
+        def _capture(g_vars, w):
+            out = self.generator.apply(
                 g_vars, [w], input_is_latent=True,
-                randomize_noise=False, return_features=True))
+                randomize_noise=False, return_features=True)
+            blend = out.feature_map[attention_layer - 1].shape[1]
+            # mapper-ready subsampled taps, paid once per face — the
+            # per-edit program then never touches the full-res taps (its
+            # jit prunes them; only the blend-layer taps stay full-res)
+            small = subsample_for_mapper(out.feature_map, blend)
+            return out, small
+
+        self._capture_fn = jax.jit(_capture)
 
     def load_synthetic(self, key, truncation: float = 0.7,
                        mean_latent: Optional[jnp.ndarray] = None,
@@ -130,12 +159,12 @@ class EditSession:
         return self._capture(wplus)
 
     def _capture(self, wplus):
-        out = self._capture_fn(self.gen_vars, wplus)
-        feats = list(out.feature_map)
+        out, small = self._capture_fn(self.gen_vars, wplus)
         const = self.gen_vars["params"]["input"]["input"]
-        feats.append(jnp.broadcast_to(const, (wplus.shape[0],
-                                              *const.shape[1:])))
-        self.feature_map = feats
+        const_b = jnp.broadcast_to(const, (wplus.shape[0],
+                                           *const.shape[1:]))
+        self.feature_map = list(out.feature_map) + [const_b]
+        self.mapper_feature_map = list(small) + [const_b]
         self.image = out.image
         self.latent = (out.style_vector if self.work_in_stylespace
                        else out.latent)
@@ -151,6 +180,7 @@ class EditSession:
         img, new_lat, amap = self._edit(
             text_features=text, attention_text_features=att,
             latent=self.latent, feature_map=self.feature_map,
+            mapper_feature_map=self.mapper_feature_map,
             strength_alpha=jnp.float32(strength_alpha),
             attention_threshold=jnp.float32(attention_threshold))
         return img, amap

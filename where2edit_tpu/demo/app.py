@@ -36,7 +36,18 @@ def load_session(args):
     )
     from where2edit_tpu.losses.clip_loss import CLIPLoss
 
-    gen, gvars, _ = build_generator(args.stylegan_size, args.ckpt)
+    # serving policy (PERF.md): bf16 synthesis + bf16 rgb chain + s2d final
+    # octave on TPU; fp32 on CPU (s2d's fused 6x6 path is TPU-gated and the
+    # visual-parity tests pin fp32 numerics there). --fp32 forces full fp32.
+    import jax as _jax  # noqa: PLC0415
+
+    serve_bf16 = (_jax.default_backend() == "tpu"
+                  and not getattr(args, "fp32", False))
+    gen, gvars, _ = build_generator(
+        args.stylegan_size, args.ckpt,
+        dtype=jnp.bfloat16 if serve_bf16 else jnp.float32,
+        s2d_octaves=1 if serve_bf16 else 0,
+        rgb_dtype=jnp.bfloat16 if serve_bf16 else jnp.float32)
     clip_model, clip_vars = load_clip(args.clip_ckpt)
     closs = CLIPLoss(clip_model, clip_vars, args.stylegan_size)
 
@@ -84,6 +95,8 @@ def build_argparser():
     p.add_argument("--stylegan_size", type=int, default=1024)
     p.add_argument("--attention_layer", type=int, default=13)
     p.add_argument("--cluster_layer", type=int, default=13)
+    p.add_argument("--fp32", action="store_true",
+                   help="disable the bf16 serving policy (PERF.md)")
     return p
 
 
