@@ -6,9 +6,10 @@ Design notes
 * All image tensors are **NHWC** (TPU-native layout). Converters and the
   torch-parity tests transpose at the boundary.
 * Compute-path code is pure JAX (jit/pjit-able, no Python side effects).
-  XLA fusion covers the hot ops; a Pallas fused modulated-conv kernel
-  (`ops.pallas_kernels`) is available where profiling shows XLA leaving
-  time on the table (see tools/profile_edit.py for the measurement).
+  XLA fusion covers the hot ops — measured on-chip, XLA's own fusions run
+  the modulated-conv family at ~500 GB/s effective and a hand pallas
+  kernel lost on every candidate shape, so it was retired (measurement +
+  roofline note: PERF.md; reproduction: tools/pallas_bench.py).
 * Multi-chip scaling goes through `jax.sharding.Mesh` + collectives
   (`where2edit_tpu.parallel`), not a rendezvous/NCCL port.
 

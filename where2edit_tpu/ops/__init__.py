@@ -15,7 +15,6 @@ from where2edit_tpu.ops.interpolate import (
 )
 from where2edit_tpu.ops.gaussian_blur import gaussian_blur
 from where2edit_tpu.ops.segment import segment_mean_map
-from where2edit_tpu.ops.pallas_kernels import modulated_conv1x1
 
 __all__ = [
     "upfirdn2d",
@@ -26,5 +25,4 @@ __all__ = [
     "adaptive_avg_pool",
     "gaussian_blur",
     "segment_mean_map",
-    "modulated_conv1x1",
 ]

@@ -2,7 +2,12 @@
 wall-clock timing in mapper/scripts/inference.py:65-86).
 
 - ``trace(logdir)``: context manager around jax.profiler.trace.
-- ``StageTimer``: named wall-clock stages with block_until_ready fencing.
+- ``sync_fetch(res)``: force device completion by fetching one output
+  element. On the axon remote tunnel ``jax.block_until_ready`` returns
+  before the device finishes (measured: implied HBM bandwidth >600 TB/s
+  under block_until_ready, ~500 GB/s — physical — under a value fetch), so
+  every wall-clock measurement in this repo fences with a fetch.
+- ``StageTimer``: named wall-clock stages with sync_fetch fencing.
 - ``summarize_trace(logdir)``: parse the Chrome-format trace and aggregate
   device op durations (the tensorboard profile plugin converters are broken
   with this image's protobuf; the json trace is self-sufficient).
@@ -18,6 +23,15 @@ import json
 import time
 
 import jax
+
+
+def sync_fetch(res):
+    """Fetch one element of one output of ``res``'s producing program —
+    the only reliable execution fence on remote-tunnel backends where
+    block_until_ready resolves early. Returns ``res`` unchanged."""
+    leaf = jax.tree_util.tree_leaves(res)[0]
+    jax.device_get(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+    return res
 
 
 @contextlib.contextmanager
@@ -38,7 +52,7 @@ class StageTimer:
 
     def time_fn(self, name: str, fn, *args, **kwargs):
         t0 = time.time()
-        out = jax.block_until_ready(fn(*args, **kwargs))
+        out = sync_fetch(fn(*args, **kwargs))
         self.stages[name] = self.stages.get(name, 0.0) + time.time() - t0
         return out
 
