@@ -178,30 +178,40 @@ def main():
             return jnp.sum(e4e.apply(ev, im + 1e-4 * i))
         invert_loop = stage_loop(invert_body)
 
-        def capture_body(i, gv, w):
-            from where2edit_tpu.demo.api import subsample_for_mapper  # noqa: PLC0415
+        from where2edit_tpu.demo.api import blend_tap_indices  # noqa: PLC0415
+        from where2edit_tpu.editing.attention_mappers import attention_tables  # noqa: PLC0415
 
+        # EditSession capture semantics: the generator emits mapper-ready
+        # taps (subsampled at the source, s2d-space slices, dropped where
+        # unread) — one list serves the mapper AND the blend
+        keep = sorted(set(attention_tables(SIZE)["layer_num"])
+                      | set(blend_tap_indices(ATT_LAYER)))
+        blend = feats_b[ATT_LAYER - 1].shape[1]
+
+        def capture_body(i, gv, w):
             cap = gen.apply(gv, [w + 1e-4 * i], input_is_latent=True,
-                            randomize_noise=False, return_features=True)
-            blend_c = cap.feature_map[ATT_LAYER - 1].shape[1]
-            small = subsample_for_mapper(cap.feature_map, blend_c)
-            # consume every tap (incl. the session's per-face mapper
-            # subsample) so the capture pass can't be DCE'd
+                            randomize_noise=False, return_features=True,
+                            tap_subsample=blend, tap_indices=keep)
             return (jnp.mean(cap.image)
-                    + sum(jnp.mean(f) for f in cap.feature_map)
-                    + sum(jnp.mean(f) for f in small)
+                    + sum(jnp.mean(f) for f in cap.feature_map
+                          if f is not None)
                     + sum(jnp.mean(s) for s in cap.style_vector))
         capture_loop = stage_loop(capture_body)
 
-        # mapper taps are pre-subsampled at capture time (EditSession
-        # semantics — paid once per face, demo/api.subsample_for_mapper);
-        # the per-edit program then reads only blend-size tensors + the
-        # blend-layer taps
-        from where2edit_tpu.demo.api import subsample_for_mapper  # noqa: PLC0415
+        def _mapper_ready(fm):
+            """Mirror the capture list for the edit stage ([-1] = const)."""
+            ready = []
+            for k, f in enumerate(fm):
+                if k < len(fm) - 1 and k not in keep:
+                    ready.append(None)
+                elif f.shape[1] > blend:
+                    s = f.shape[1] // blend
+                    ready.append(f[:, ::s, ::s, :])
+                else:
+                    ready.append(f)
+            return ready
 
-        blend = feats_b[ATT_LAYER - 1].shape[1]
-        small_b = jax.jit(
-            lambda fm: subsample_for_mapper(fm, blend))(feats_b)
+        feats_ready = jax.jit(_mapper_ready)(feats_b)
 
         def edit_body(i, gv, mv, texts, styles, fm, mfm):
             img, _, amap, _ = one_text_edit(
@@ -218,8 +228,8 @@ def main():
             "text_encode": (text_loop, (clip_vars, tokens)),
             "invert": (invert_loop, (evars, img256)),
             "capture": (capture_loop, (gvars, wplus0)),
-            "edit": (edit_loop, (gvars, mvars, texts_b, styles_b, feats_b,
-                                 small_b)),
+            "edit": (edit_loop, (gvars, mvars, texts_b, styles_b, feats_ready,
+                                 feats_ready)),
         }
         return stage_args
 

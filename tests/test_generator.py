@@ -166,3 +166,38 @@ def test_style_mixing(pair):
                      inject_index=4, noise=jn)
     np.testing.assert_allclose(np.asarray(out.image), t2j(img_ref, nhwc=True),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("s2d_octaves", [0, 1])
+def test_tap_subsample_and_indices(s2d_octaves):
+    """Serving-capture controls: ``tap_indices`` drops taps, ``tap_subsample``
+    nearest-subsamples large taps at the source — including the s2d-space
+    slice for s2d octaves — exactly matching a full capture + subsample."""
+    from where2edit_tpu.ops.interpolate import interpolate_nearest
+
+    gen = Generator(size=SIZE, s2d_octaves=s2d_octaves)
+    key = jax.random.PRNGKey(0)
+    v = gen.init({"params": key, "noise": key}, [jnp.zeros((1, 512))])
+    w = jnp.asarray(RNG.standard_normal((2, gen.n_latent, 512)).astype(np.float32))
+
+    full = gen.apply(v, [w], input_is_latent=True, randomize_noise=False,
+                     return_features=True)
+    n_taps = len(full.feature_map)
+    # mix of small taps, mid convs, a to_rgb, and the final (s2d) octave
+    keep = [0, 2, 5, 9, 12, n_taps - 3, n_taps - 2]
+    sub = gen.apply(v, [w], input_is_latent=True, randomize_noise=False,
+                    return_features=True, tap_subsample=8, tap_indices=keep)
+
+    np.testing.assert_allclose(np.asarray(sub.image), np.asarray(full.image),
+                               rtol=1e-6, atol=1e-6)
+    assert len(sub.feature_map) == n_taps
+    for i in range(n_taps):
+        if i not in keep:
+            assert sub.feature_map[i] is None, i
+            continue
+        want = full.feature_map[i]
+        if want.shape[1] > 8:
+            want = interpolate_nearest(want, 8)
+        np.testing.assert_allclose(np.asarray(sub.feature_map[i]),
+                                   np.asarray(want), rtol=1e-6, atol=1e-6,
+                                   err_msg=f"tap {i}")

@@ -68,6 +68,41 @@ def test_edit_session_and_one_text_edit():
     assert amap.shape[0] == 1 and amap.shape[-1] == 1
     assert np.isfinite(np.asarray(img)).all()
 
+    # capture-pruning contract: only the blend-read taps stay full-res in
+    # the session (demo/api.blend_tap_indices); the rest are None and the
+    # mapper consumes the pre-subsampled copies
+    from where2edit_tpu.demo.api import blend_tap_indices, one_text_edit
+
+    from where2edit_tpu.editing.attention_mappers import attention_tables
+
+    blend = 4 * 2 ** (att_layer // 3)
+    keep = (set(blend_tap_indices(att_layer))
+            | set(attention_tables(SIZE)["layer_num"]))
+    for i, f in enumerate(session.feature_map[:-1]):  # [-1] = const tap
+        assert (f is not None) == (i in keep), i
+        if f is not None:
+            assert f.shape[1] <= blend, i  # subsampled at the source
+    assert session.feature_map[-1] is not None  # const tap
+    assert session.mapper_feature_map is session.feature_map
+
+    # pruned-session edit ≡ one_text_edit over the FULL feature-map list
+    # (pre-subsampling is exact: the mapper's attention convs are pointwise)
+    wplus = session._sample_w(gvars, jax.random.PRNGKey(3), 0.7,
+                              session._mean_latent, 1)
+    full = gen.apply(gvars, [wplus], input_is_latent=True,
+                     randomize_noise=False, return_features=True)
+    feats_full = list(full.feature_map) + [gvars["params"]["input"]["input"]]
+    img_ref, _, amap_ref, _ = one_text_edit(
+        generator=gen, gen_vars=gvars, mapper=mapper, mapper_vars=mvars,
+        text_features=jnp.zeros((1, 32)),
+        attention_text_features=jnp.zeros((1, 32)),
+        latent=full.style_vector, feature_map=feats_full,
+        attention_layer=att_layer, strength_alpha=0.2)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(amap), np.asarray(amap_ref),
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_checkpoint_roundtrip(tmp_path):
     from where2edit_tpu.train.checkpoints import load_checkpoint, save_checkpoint

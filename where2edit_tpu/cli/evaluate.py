@@ -104,6 +104,7 @@ def main(argv=None):
             img, _, _ = session._edit(
                 text_features=text_feats, attention_text_features=text_feats,
                 latent=session.latent, feature_map=session.feature_map,
+                mapper_feature_map=session.mapper_feature_map,
                 strength_alpha=jnp.float32(0.1),
                 attention_threshold=jnp.float32(0.75))
             return session.image, img

@@ -19,16 +19,47 @@ from where2edit_tpu.ops.gaussian_blur import gaussian_blur
 from where2edit_tpu.ops.interpolate import interpolate_nearest
 
 
-def subsample_for_mapper(feature_map, blend_size: int):
+def subsample_for_mapper(feature_map, blend_size: int, indices=None):
     """Nearest-subsample every tap larger than the blend size (exact: the
     mapper's att convs are pointwise, so conv∘subsample = subsample∘conv).
 
     The per-edit program otherwise pays a strided gather over each full-res
     tap (profiled 1.5 ms/tap at 1024² batch 8) plus input relayout copies of
     taps the edit never reads at full resolution — pre-subsampling at
-    capture time moves that cost to once per face (PERF.md)."""
-    return [interpolate_nearest(f, blend_size) if f.shape[1] > blend_size
-            else f for f in feature_map]
+    capture time moves that cost to once per face (PERF.md).
+
+    ``indices``: optional set of tap indices the mapper actually reads
+    (``attention_tables(size)["layer_num"]`` — the non-to_rgb taps); other
+    entries become None. The 3-channel to_rgb taps are lane-padded ~42x
+    under the TPU (8,128) tiled layout, so even a strided *read* of them
+    costs more than all the conv taps together — skipping them is most of
+    the capture-stage win (PERF.md)."""
+    keep = None if indices is None else set(indices)
+    return [None if (keep is not None and i not in keep)
+            else interpolate_nearest(f, blend_size) if f.shape[1] > blend_size
+            else f
+            for i, f in enumerate(feature_map)]
+
+
+def blend_tap_indices(attention_layer: int) -> list:
+    """0-based tap indices the generator's masked blend actually reads
+    (models/stylegan2.py::tap): the attention layer itself plus — when the
+    attention layer is a conv — the octave's to_rgb skip (the reference
+    fork's ``this_layer`` coupling, attention_model.py:546-561).
+
+    Everything else in the 26-tap capture list is only ever consumed through
+    the pre-subsampled mapper taps, so a serving capture program can drop
+    the other full-res taps from its outputs entirely (the to_rgb taps are
+    3-channel and pad 42x under the TPU (8,128) tiled layout — materializing
+    them as program outputs dominated the capture stage, PERF.md)."""
+    idxs = {attention_layer - 1}
+    layer = attention_layer + 1
+    while not (layer == 2 or (layer > 2 and (layer - 2) % 3 == 0)):
+        layer += 1  # advance to the octave's to_rgb layer
+    convs_since_prev_rgb = (1,) if layer == 2 else (layer - 2, layer - 1)
+    if attention_layer in convs_since_prev_rgb:
+        idxs.add(layer - 1)
+    return sorted(idxs)
 
 
 def one_text_edit(*, generator, gen_vars, mapper, mapper_vars,
@@ -124,15 +155,25 @@ class EditSession:
                 randomize_noise=False).latent,
             static_argnums=(2, 4))  # generator branches on truncation < 1
         def _capture(g_vars, w):
-            out = self.generator.apply(
+            from where2edit_tpu.editing.attention_mappers import (  # noqa: PLC0415
+                attention_tables,
+            )
+
+            # the generator emits mapper-ready taps directly: taps above the
+            # blend resolution are nearest-subsampled AT THE SOURCE (exact —
+            # the mapper's attention convs are pointwise; s2d octaves slice
+            # in s2d space, skipping every depth_to_space relayout) and taps
+            # nothing reads are never materialized. The blend-read taps
+            # (blend_tap_indices) sit exactly at the blend resolution, so
+            # one list serves both the generator blend and the mapper.
+            blend = 4 * 2 ** (attention_layer // 3)  # res of tap L-1
+            keep = sorted(
+                set(attention_tables(self.generator.size)["layer_num"])
+                | set(blend_tap_indices(attention_layer)))
+            return self.generator.apply(
                 g_vars, [w], input_is_latent=True,
-                randomize_noise=False, return_features=True)
-            blend = out.feature_map[attention_layer - 1].shape[1]
-            # mapper-ready subsampled taps, paid once per face — the
-            # per-edit program then never touches the full-res taps (its
-            # jit prunes them; only the blend-layer taps stay full-res)
-            small = subsample_for_mapper(out.feature_map, blend)
-            return out, small
+                randomize_noise=False, return_features=True,
+                tap_subsample=blend, tap_indices=keep)
 
         self._capture_fn = jax.jit(_capture)
 
@@ -159,12 +200,12 @@ class EditSession:
         return self._capture(wplus)
 
     def _capture(self, wplus):
-        out, small = self._capture_fn(self.gen_vars, wplus)
+        out = self._capture_fn(self.gen_vars, wplus)
         const = self.gen_vars["params"]["input"]["input"]
         const_b = jnp.broadcast_to(const, (wplus.shape[0],
                                            *const.shape[1:]))
         self.feature_map = list(out.feature_map) + [const_b]
-        self.mapper_feature_map = list(small) + [const_b]
+        self.mapper_feature_map = self.feature_map
         self.image = out.image
         self.latent = (out.style_vector if self.work_in_stylespace
                        else out.latent)

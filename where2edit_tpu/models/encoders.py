@@ -55,18 +55,23 @@ class _StyleCell(fnn.Module):
 
 
 class _EncoderBase(fnn.Module):
+    """``dtype`` is an optional serving-time compute dtype (bf16 halves the
+    trunk's HBM traffic; outputs are cast back to fp32 — the W+ rows feed
+    fp32 style modulation). Default None keeps the torch-parity fp32 path."""
     num_layers: int = 50
     mode: str = "ir_se"
     stylegan_size: int = 1024
     coarse_ind: int = 3
     middle_ind: int = 7
+    dtype: jnp.dtype | None = None
 
     @property
     def style_count(self) -> int:
         return 2 * int(math.log2(self.stylegan_size)) - 2
 
     def _trunk(self, x):
-        return IRSEBody(self.num_layers, self.mode, name="body")(x, want_taps=True)
+        return IRSEBody(self.num_layers, self.mode, dtype=self.dtype,
+                        name="body")(x, want_taps=True)
 
     def _style_groups(self, c3, p2_fn, p1_fn):
         """Apply the 18 GradualStyleBlocks as THREE scanned groups.
@@ -112,8 +117,9 @@ class GradualStyleEncoder(_EncoderBase):
             lambda: _upsample_add(c3, Conv(256, 512, 1, name="latlayer1")(c2)),
             lambda p2: _upsample_add(p2, Conv(128, 512, 1,
                                               name="latlayer2")(c1)))
-        # (n, B, 512) groups → (B, style_count, 512)
-        return jnp.concatenate([coarse, middle, fine], axis=0).transpose(1, 0, 2)
+        # (n, B, 512) groups → (B, style_count, 512); W+ feeds fp32 styling
+        return jnp.concatenate([coarse, middle, fine],
+                               axis=0).transpose(1, 0, 2).astype(jnp.float32)
 
 
 class Encoder4Editing(_EncoderBase):
@@ -136,7 +142,7 @@ class Encoder4Editing(_EncoderBase):
         limit = min(self.progressive_stage + 1, self.style_count)
         rows = [w0] + [w0 + deltas[i] if i < limit else w0
                        for i in range(1, self.style_count)]
-        return jnp.stack(rows, axis=1)
+        return jnp.stack(rows, axis=1).astype(jnp.float32)
 
 
 class BackboneEncoderUsingLastLayerIntoW(_EncoderBase):
@@ -147,4 +153,5 @@ class BackboneEncoderUsingLastLayerIntoW(_EncoderBase):
         feat, _ = self._trunk(x)
         pooled = jnp.mean(feat, axis=(1, 2))
         w = EqualLinear(512, 512, lr_mul=1.0, name="linear")(pooled)
-        return jnp.repeat(w[:, None, :], self.style_count, axis=1)
+        return jnp.repeat(w[:, None, :], self.style_count,
+                          axis=1).astype(jnp.float32)

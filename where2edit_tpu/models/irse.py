@@ -131,9 +131,14 @@ class Conv(fnn.Module):
         return out
 
 
-def batch_norm(name: str = "bn", affine: bool = True):
+def batch_norm(name: str = "bn", affine: bool = True, dtype=None):
+    """``dtype`` is the compute dtype (flax casts inputs AND the fp32
+    running stats down) — BatchNorm is the only op in this stack that
+    otherwise promotes activations back to fp32 through its params, so a
+    bf16 serving pass must thread it explicitly."""
     return fnn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                         use_scale=affine, use_bias=affine, name=name)
+                         use_scale=affine, use_bias=affine, dtype=dtype,
+                         name=name)
 
 
 class SEModule(fnn.Module):
@@ -158,6 +163,7 @@ class BottleneckIR(fnn.Module):
     depth: int
     stride: int
     use_se: bool = False
+    dtype: jnp.dtype | None = None
 
     @fnn.compact
     def __call__(self, x):
@@ -166,14 +172,14 @@ class BottleneckIR(fnn.Module):
         else:
             shortcut = Conv(self.in_channel, self.depth, 1, stride=self.stride,
                             use_bias=False, name="shortcut_conv")(x)
-            shortcut = batch_norm("shortcut_bn")(shortcut)
-        res = batch_norm("bn1")(x)
+            shortcut = batch_norm("shortcut_bn", dtype=self.dtype)(shortcut)
+        res = batch_norm("bn1", dtype=self.dtype)(x)
         res = Conv(self.in_channel, self.depth, 3, padding=1, use_bias=False,
                    name="conv1")(res)
         res = PReLU(self.depth, name="prelu")(res)
         res = Conv(self.depth, self.depth, 3, stride=self.stride, padding=1,
                    use_bias=False, name="conv2")(res)
-        res = batch_norm("bn2")(res)
+        res = batch_norm("bn2", dtype=self.dtype)(res)
         if self.use_se:
             res = SEModule(self.depth, name="se")(res)
         return res + shortcut
@@ -183,11 +189,12 @@ class _BottleneckCell(fnn.Module):
     """Scan cell: one stride-1 in==out bottleneck (the uniform stage tail)."""
     depth: int
     use_se: bool
+    dtype: jnp.dtype | None = None
 
     @fnn.compact
     def __call__(self, x, _):
         out = BottleneckIR(self.depth, self.depth, 1, use_se=self.use_se,
-                           name="blk")(x)
+                           dtype=self.dtype, name="blk")(x)
         return out, None
 
 
@@ -207,11 +214,14 @@ class IRSEBody(fnn.Module):
     """
     num_layers: int = 50
     mode: str = "ir_se"
+    dtype: jnp.dtype | None = None
 
     @fnn.compact
     def __call__(self, x, want_taps: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = Conv(3, 64, 3, padding=1, use_bias=False, name="input_conv")(x)
-        x = batch_norm("input_bn")(x)
+        x = batch_norm("input_bn", dtype=self.dtype)(x)
         x = PReLU(64, name="input_prelu")(x)
         use_se = self.mode == "ir_se"
         taps = {}
@@ -222,7 +232,8 @@ class IRSEBody(fnn.Module):
             if scan_ok:
                 head, tail = block[0], block[1:]
                 x = BottleneckIR(head.in_channel, head.depth, head.stride,
-                                 use_se=use_se, name=f"body_{idx}")(x)
+                                 use_se=use_se, dtype=self.dtype,
+                                 name=f"body_{idx}")(x)
                 idx += 1
                 if tail:
                     Scan = fnn.scan(
@@ -230,7 +241,7 @@ class IRSEBody(fnn.Module):
                         variable_axes={"params": 0, "batch_stats": 0},
                         split_rngs={"params": True},
                         length=len(tail))
-                    x, _ = Scan(head.depth, use_se,
+                    x, _ = Scan(head.depth, use_se, self.dtype,
                                 name=f"stage{si}_tail")(x, None)
                     idx += len(tail)
                 if idx - 1 in (6, 20, 23):
@@ -238,7 +249,8 @@ class IRSEBody(fnn.Module):
             else:
                 for spec in block:
                     x = BottleneckIR(spec.in_channel, spec.depth, spec.stride,
-                                     use_se=use_se, name=f"body_{idx}")(x)
+                                     use_se=use_se, dtype=self.dtype,
+                                     name=f"body_{idx}")(x)
                     if idx in (6, 20, 23):
                         taps[idx] = x
                     idx += 1

@@ -185,8 +185,21 @@ class Generator(fnn.Module):
         attention_layer: int = 0,
         attention_map: Optional[jnp.ndarray] = None,
         feature_map: Optional[list] = None,
+        tap_subsample: Optional[int] = None,
+        tap_indices: Optional[Sequence[int]] = None,
     ) -> GeneratorOutput:
         """Forward synthesis.
+
+        ``tap_subsample``/``tap_indices`` (static): serving-capture controls
+        for ``return_features``. Taps larger than ``tap_subsample`` are
+        stored nearest-subsampled to it (exact for every mapper consumer —
+        the attention convs are pointwise, so conv∘subsample ≡
+        subsample∘conv); s2d-octave taps subsample directly in s2d space
+        (pixel (s·i, s·j) ≡ s2d position (s/2·i, s/2·j) phase (0,0)), which
+        removes the per-tap depth_to_space relayouts that dominated the
+        capture stage (PERF.md). Taps not in ``tap_indices`` are stored as
+        None and never materialized. Both default to the full-resolution
+        26-tap capture (training / torch-parity behavior).
 
         ``styles``: list of (B, 512) z/w, or (B, n_latent, 512) W+, or — with
         ``input_is_stylespace`` — a list of 26 (B, C_i) style vectors.
@@ -231,6 +244,18 @@ class Generator(fnn.Module):
         style_vector: list = []
         taps: list = []
 
+        keep_taps = None if tap_indices is None else set(tap_indices)
+
+        def store(x, idx):
+            """What lands in the feature list: None for dropped indices,
+            the nearest-subsampled tap above ``tap_subsample``, else x."""
+            if keep_taps is not None and idx not in keep_taps:
+                return None
+            if tap_subsample is not None and x.shape[1] > tap_subsample:
+                s = x.shape[1] // tap_subsample
+                return x[:, ::s, ::s, :]
+            return x
+
         def tap(x):
             """Record a feature / apply the mask-blend at this 1-based layer.
 
@@ -252,8 +277,34 @@ class Generator(fnn.Module):
                 )
                 if hit:
                     x = _blend(x, attention_map, feature_map[idx].astype(x.dtype))
-            taps.append(x)
+            taps.append(store(x, idx))
             return x
+
+        def tap_s2d(x):
+            """Tap an s2d-layout tensor. With ``tap_subsample`` the slice
+            happens IN s2d space — pixel (s·i, s·j) is s2d element
+            (s/2·i, s/2·j) in phase (0,0), i.e. the first C channels of the
+            (by, bx, c)-ordered block dim — so no depth_to_space relayout is
+            ever materialized for these taps. (Blending inside the s2d
+            region is rejected up front, so no blend logic here.)"""
+            idx = len(taps)
+            if keep_taps is not None and idx not in keep_taps:
+                taps.append(None)
+                return
+            h_pix = x.shape[1] * 2
+            if tap_subsample is not None and h_pix > tap_subsample:
+                s = h_pix // tap_subsample  # both powers of two → s even
+                c = x.shape[-1] // 4
+                # two slices with a barrier between: the spatial stride is a
+                # cheap row-strided read (like every non-s2d tap), while the
+                # fused spatial+lane slice makes XLA relayout the ENTIRE
+                # activation first (measured 13.7 ms for one 512²x128 bf16
+                # tensor vs ~0.5 ms this way, PERF.md)
+                small = jax.lax.optimization_barrier(
+                    x[:, :: s // 2, :: s // 2, :])
+                taps.append(small[..., :c])
+            else:
+                taps.append(depth_to_space(x))
 
         # stem runs fp32 whenever any head octave is pinned fp32
         stem_dtype = jnp.float32 if self.fp32_head_octaves > 0 else self.dtype
@@ -312,11 +363,11 @@ class Generator(fnn.Module):
                 out, s1 = conv_up(out, get(i), noise=n1,
                                   input_is_stylespace=input_is_stylespace,
                                   s2d_out=True)
-                tap(depth_to_space(out))
+                tap_s2d(out)
                 out, s2 = conv(out, get(i + 1), noise=n2,
                                input_is_stylespace=input_is_stylespace,
                                s2d_in=True, s2d_out=True)
-                tap(depth_to_space(out))
+                tap_s2d(out)
                 # the final octave's to_rgb + skip-add stay in s2d layout;
                 # ONE depth_to_space materializes the image after the loop
                 defer = oct_idx == n_oct - 1
@@ -324,7 +375,7 @@ class Generator(fnn.Module):
                                   input_is_stylespace=input_is_stylespace,
                                   s2d_in=True, defer_d2s=defer)
                 if defer:
-                    tap(depth_to_space(skip))
+                    tap_s2d(skip)
                 else:
                     skip = tap(skip)
             else:
