@@ -55,7 +55,10 @@ from where2edit_tpu.models.stylegan2 import Generator  # noqa: E402
 from where2edit_tpu.models.vgg import Vgg16  # noqa: E402
 
 SIZE = 1024
-BATCH = 8
+# serving batch: throughput saturates ~batch 16-32 (batch 8 = 290 synth
+# imgs/s, 16 = 325, 32 = 353 — strong fixed-overhead amortization, PERF.md);
+# 16 keeps every pipeline stage comfortably in HBM
+BATCH = int(os.environ.get("W2E_BENCH_BATCH", "16"))
 ATT_LAYER = 13
 BASELINE_PER_CHIP = 50.0 / 8.0
 
@@ -233,7 +236,7 @@ def main():
         }
         return stage_args
 
-    log("config 1: staged e2e edit at batch 8 …")
+    log(f"config 1: staged e2e edit at batch {BATCH} …")
     per_edit = {}
     for name, (loop, largs) in build_stages(BATCH).items():
         log(f"  stage {name} …")
@@ -241,7 +244,7 @@ def main():
         log(f"    {per_edit[name] * 1e3 / BATCH:.2f} ms/edit")
     e2e_per_sec = BATCH / sum(per_edit.values())
     results["e2e_edits_per_sec_per_chip"] = round(e2e_per_sec, 2)
-    results["e2e_stage_ms_per_edit_batch8"] = {
+    results[f"e2e_stage_ms_per_edit_batch{BATCH}"] = {
         k: round(v * 1e3 / BATCH, 3) for k, v in per_edit.items()}
     # config 4 = the steady-state session cost (capture paid once per face)
     results["interactive_edits_per_sec_per_chip"] = round(
@@ -281,7 +284,7 @@ def main():
                            (N, BATCH, gen.n_latent, 512))
     dt = timeit(mapper_inf_loop, gvars, lm_vars, ws) / N
     results["styleclip_mapper_edits_per_sec_per_chip"] = round(BATCH / dt, 2)
-    results["styleclip_mapper_ms_per_batch8"] = round(dt * 1e3, 3)
+    results[f"styleclip_mapper_ms_per_batch{BATCH}"] = round(dt * 1e3, 3)
     log(f"  {results['styleclip_mapper_edits_per_sec_per_chip']} edits/s")
 
     # ---------------- config 5: attention training step ----------------

@@ -76,10 +76,14 @@ class PReLU(fnn.Module):
 
 # convs whose OUTPUT has at most this many positions run as im2col matmuls:
 # mathematically identical, but the XLA TPU conv emitter spends ~1 min per
-# conv instance at these shapes (measured: one 512-ch 64→1 conv chain =
+# conv instance at tiny shapes (measured: one 512-ch 64→1 conv chain =
 # 336 s remote compile vs 27 s as GEMMs) while the equivalent GEMM compiles
-# instantly — and the GEMM is exactly what the MXU would run anyway.
-_CONV_AS_MATMUL_MAX_POSITIONS = 128 * 128
+# instantly. The threshold matters for RUNTIME too: im2col amplifies input
+# reads 9x (the patch tensor), so mid-spatial convs must stay real convs —
+# lowering the cap from 128² to 16² positions took the e4e invert from
+# 2.84 to 1.86 ms/img on-chip at unchanged compile times (PERF.md).
+_CONV_AS_MATMUL_MAX_POSITIONS = int(
+    __import__("os").environ.get("W2E_IM2COL_MAX_POSITIONS", 16 * 16))
 
 
 def conv2d_im2col(x, w, stride: int, padding: int):
