@@ -57,7 +57,8 @@ from where2edit_tpu.models.vgg import Vgg16  # noqa: E402
 SIZE = 1024
 # serving batch: throughput saturates ~batch 16-32 (batch 8 = 290 synth
 # imgs/s, 16 = 325, 32 = 353 — strong fixed-overhead amortization, PERF.md);
-# 16 keeps every pipeline stage comfortably in HBM
+# 16 keeps every pipeline stage comfortably in HBM (32 OOMs the one-time
+# full-tap capture used for mapper init)
 BATCH = int(os.environ.get("W2E_BENCH_BATCH", "16"))
 ATT_LAYER = 13
 BASELINE_PER_CHIP = 50.0 / 8.0
