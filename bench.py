@@ -350,6 +350,38 @@ def main():
     results["train_steps_per_sec_per_chip"] = round(1.0 / dt, 3)
     results["train_samples_per_sec_per_chip"] = round(train_batch / dt, 3)
     log(f"  {results['train_steps_per_sec_per_chip']} steps/s")
+
+    # scaling variant: batch 8/chip with rematerialized grad-pass synthesis
+    # (fp32 batch >4/chip does not fit without cfg.remat) — the per-chip
+    # sample throughput a user gets by raising batch instead of chips
+    log("config 5b: training step, batch 8 + remat …")
+    cfg8 = AttentionTrainConfig(
+        stylegan_size=SIZE, attention_layer=ATT_LAYER,
+        cluster_layer=ATT_LAYER, batch_size=8, step=100,
+        work_in_stylespace=True, remat=True)
+    trainer8 = AttentionTrainer(
+        cfg8, generator=gen_train, gen_vars=gvars, mapper=mapper,
+        mapper_params=mvars_t["params"],
+        encode_image=lambda lv, img: clip_loss.apply_encode_image(
+            lv["clip"], img),
+        perceptual=lambda lv, a, b_: perceptual.apply(lv["vgg"], a, b_),
+        mean_latent=jnp.zeros((1, 512)),
+        mapper_extra_variables={"clusters": mvars_t["clusters"]},
+        loss_variables={"clip": clip_vars, "vgg": vgg_vars})
+
+    def train8_once(params, opt_state):
+        return trainer8.step_fn(params, opt_state, jnp.asarray(1.0),
+                                jax.random.PRNGKey(8), bank)
+
+    res = sync(train8_once(trainer8.mapper_params, trainer8.opt_state))
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        res = sync(train8_once(res[0], res[1]))
+        ts.append(time.time() - t0)
+    dt8 = float(np.median(ts))
+    results["train_samples_per_sec_per_chip_batch8_remat"] = round(8 / dt8, 3)
+    log(f"  {results['train_samples_per_sec_per_chip_batch8_remat']} samples/s")
     emit(results, e2e_per_sec)
 
 

@@ -59,7 +59,8 @@ class FakeCLIP:
         return pooled @ self.proj
 
 
-def _build_trainer(gen, gvars, batch, steps=2, mesh=None, lr=0.05):
+def _build_trainer(gen, gvars, batch, steps=2, mesh=None, lr=0.05,
+                   remat=False):
     tables = attention_tables(SIZE)
     mapper = FullSpaceMapperFEATClusterLinStyle(
         layers=tables["n_latent"], attention_layer=4, cluster_layer=4,
@@ -84,7 +85,7 @@ def _build_trainer(gen, gvars, batch, steps=2, mesh=None, lr=0.05):
 
     cfg = AttentionTrainConfig(stylegan_size=SIZE, attention_layer=4,
                                cluster_layer=4, batch_size=batch, step=steps,
-                               work_in_stylespace=True, lr=lr)
+                               work_in_stylespace=True, lr=lr, remat=remat)
     trainer = AttentionTrainer(
         cfg, generator=gen, gen_vars=gvars, mapper=mapper,
         mapper_params=mvars["params"],
@@ -102,6 +103,26 @@ def test_attention_trainer_smoke(gen_and_vars):
     assert len(hist) == 2
     for _, scal in hist:
         assert np.isfinite(scal["loss"])
+
+
+def test_remat_step_matches_nonremat(gen_and_vars):
+    """cfg.remat recomputes the grad-pass synthesis in the backward —
+    identical numerics, just a different activation-memory schedule."""
+    gen, gvars = gen_and_vars
+    t_plain, text = _build_trainer(gen, gvars, batch=2, steps=2)
+    t_remat, _ = _build_trainer(gen, gvars, batch=2, steps=2, remat=True)
+    key = jax.random.PRNGKey(5)
+    p1, _, aux1, img1, _ = t_plain.step_fn(
+        t_plain.mapper_params, t_plain.opt_state, jnp.asarray(0.0), key, text)
+    p2, _, aux2, img2, _ = t_remat.step_fn(
+        t_remat.mapper_params, t_remat.opt_state, jnp.asarray(0.0), key, text)
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
 
 
 def test_attention_prompt_resampled_per_step(gen_and_vars):

@@ -107,6 +107,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="bf16 synthesis during training (losses/demod stay "
                         "fp32) — the reference's opt-in --amp analogue "
                         "(run_attention.py:1068-1069)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the grad-pass synthesis "
+                        "(jax.checkpoint): identical numerics, ~2x step "
+                        "time at 8x the per-chip batch (fp32 batch>4/chip "
+                        "does not fit without it; measured 4.7 -> 18.3 "
+                        "samples/s/chip at batch 8, PERF.md)")
     return p
 
 
@@ -278,7 +284,8 @@ def main(argv=None):
         lambda_ess=args.lambda_ess, lambda_sec=args.lambda_sec,
         lambda_id=args.lambda_id, lambda_delta=args.lambda_delta,
         step=args.step, truncation=args.truncation,
-        work_in_stylespace=args.work_in_stylespace, seed=args.seed)
+        work_in_stylespace=args.work_in_stylespace, seed=args.seed,
+        remat=args.remat)
     trainer = AttentionTrainer(
         cfg, generator=gen, gen_vars=gvars, mapper=mapper,
         mapper_params=mvars["params"], encode_image=encode_image,

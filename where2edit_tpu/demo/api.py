@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from where2edit_tpu.editing.masks import demo_threshold
+from where2edit_tpu.models.stylegan2 import blend_tap_indices  # noqa: F401  (re-export)
 from where2edit_tpu.ops.gaussian_blur import gaussian_blur
 from where2edit_tpu.ops.interpolate import interpolate_nearest
 
@@ -39,27 +40,6 @@ def subsample_for_mapper(feature_map, blend_size: int, indices=None):
             else interpolate_nearest(f, blend_size) if f.shape[1] > blend_size
             else f
             for i, f in enumerate(feature_map)]
-
-
-def blend_tap_indices(attention_layer: int) -> list:
-    """0-based tap indices the generator's masked blend actually reads
-    (models/stylegan2.py::tap): the attention layer itself plus — when the
-    attention layer is a conv — the octave's to_rgb skip (the reference
-    fork's ``this_layer`` coupling, attention_model.py:546-561).
-
-    Everything else in the 26-tap capture list is only ever consumed through
-    the pre-subsampled mapper taps, so a serving capture program can drop
-    the other full-res taps from its outputs entirely (the to_rgb taps are
-    3-channel and pad 42x under the TPU (8,128) tiled layout — materializing
-    them as program outputs dominated the capture stage, PERF.md)."""
-    idxs = {attention_layer - 1}
-    layer = attention_layer + 1
-    while not (layer == 2 or (layer > 2 and (layer - 2) % 3 == 0)):
-        layer += 1  # advance to the octave's to_rgb layer
-    convs_since_prev_rgb = (1,) if layer == 2 else (layer - 2, layer - 1)
-    if attention_layer in convs_since_prev_rgb:
-        idxs.add(layer - 1)
-    return sorted(idxs)
 
 
 def one_text_edit(*, generator, gen_vars, mapper, mapper_vars,
@@ -165,11 +145,16 @@ class EditSession:
             # in s2d space, skipping every depth_to_space relayout) and taps
             # nothing reads are never materialized. The blend-read taps
             # (blend_tap_indices) sit exactly at the blend resolution, so
-            # one list serves both the generator blend and the mapper.
-            blend = 4 * 2 ** (attention_layer // 3)  # res of tap L-1
+            # one list serves both the generator blend and the mapper. The
+            # cluster tap stays native-res (assignment reads it directly).
+            cluster_layer = getattr(self.mapper, "cluster_layer",
+                                    attention_layer)
+            blend = max(4 * 2 ** (attention_layer // 3),
+                        4 * 2 ** (cluster_layer // 3))
             keep = sorted(
                 set(attention_tables(self.generator.size)["layer_num"])
-                | set(blend_tap_indices(attention_layer)))
+                | set(blend_tap_indices(attention_layer))
+                | {cluster_layer - 1})
             return self.generator.apply(
                 g_vars, [w], input_is_latent=True,
                 randomize_noise=False, return_features=True,

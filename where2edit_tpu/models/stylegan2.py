@@ -62,6 +62,27 @@ class GeneratorOutput(NamedTuple):
     feature_map: Optional[list] = None       # 26x (B, h, w, C) feature taps
 
 
+def blend_tap_indices(attention_layer: int) -> list:
+    """0-based tap indices the masked blend actually reads (``tap`` below):
+    the attention layer itself plus — when the attention layer is a conv —
+    the octave's to_rgb skip (the reference fork's ``this_layer`` coupling,
+    attention_model.py:546-561).
+
+    Everything else in the capture list is only ever consumed through the
+    (subsample-exact) mapper taps, so serving captures and the training
+    step's no-grad syntheses can drop the other full-res taps entirely
+    (the to_rgb taps are 3-channel and pad 42x under the TPU (8,128) tiled
+    layout — materializing them dominated the capture stage, PERF.md)."""
+    idxs = {attention_layer - 1}
+    layer = attention_layer + 1
+    while not (layer == 2 or (layer > 2 and (layer - 2) % 3 == 0)):
+        layer += 1  # advance to the octave's to_rgb layer
+    convs_since_prev_rgb = (1,) if layer == 2 else (layer - 2, layer - 1)
+    if attention_layer in convs_since_prev_rgb:
+        idxs.add(layer - 1)
+    return sorted(idxs)
+
+
 def _blend(out: jnp.ndarray, mask: jnp.ndarray, orig: jnp.ndarray) -> jnp.ndarray:
     """mask·out + (1-mask)·orig with nearest-resized single-channel mask.
 

@@ -52,6 +52,11 @@ class AttentionTrainConfig:
     work_in_stylespace: bool = False
     freeze_attention_until: float = 1.15   # reference quirk: never unfreezes
     seed: int = 200
+    remat: bool = False
+    """Rematerialize the grad-pass synthesis (jax.checkpoint): the backward
+    through the frozen 1024² generator otherwise stores every octave
+    activation in fp32, which caps fp32 training at ~batch 4/chip. Costs
+    one extra forward in the backward pass; identical numerics."""
 
 
 def _broadcast_row0(tree):
@@ -158,11 +163,37 @@ class AttentionTrainer:
         w = self.mean_latent + self.cfg.truncation * (w - self.mean_latent)
         return jnp.repeat(w[:, None, :], g.n_latent, axis=1)
 
+    def _tap_controls(self):
+        """Static capture controls for the no-grad syntheses: the mapper
+        family reads only the non-to_rgb taps (pre-subsampling to the blend
+        resolution is exact — the attention convs are pointwise) and the
+        blend reads ``blend_tap_indices``; nothing else in the step touches
+        the other taps. Materializing all 26 full-res fp32 taps (x2 in the
+        lax.map) is what made batch-8/chip fp32 training OOM (PERF.md)."""
+        from where2edit_tpu.editing.attention_mappers import attention_tables  # noqa: PLC0415
+        from where2edit_tpu.models.stylegan2 import blend_tap_indices  # noqa: PLC0415
+
+        cfg = self.cfg
+        keep = sorted(set(attention_tables(cfg.stylegan_size)["layer_num"])
+                      | set(blend_tap_indices(cfg.attention_layer))
+                      | {cfg.cluster_layer - 1})
+        # subsample only down to the larger of the blend / cluster-tap
+        # resolutions: the cluster assignment reads its tap at native res,
+        # and two exact nearest strides compose exactly, so the mapper's
+        # internal subsample to blend size is unchanged
+        blend = 4 * 2 ** (cfg.attention_layer // 3)  # res of tap L-1
+        cluster_res = 4 * 2 ** (cfg.cluster_layer // 3)
+        return max(blend, cluster_res), tuple(keep)
+
     def _synthesize_wplus(self, gen_vars, wplus):
-        """W+ → (img, wplus, styles, features+const)."""
+        """W+ → (img, wplus, styles, features+const). Taps the step never
+        reads at full resolution are subsampled/dropped at the source
+        (``_tap_controls``); unread entries are None."""
         g = self.generator
+        blend, keep = self._tap_controls()
         out = g.apply(gen_vars, [wplus], input_is_latent=True,
-                      randomize_noise=False, return_features=True)
+                      randomize_noise=False, return_features=True,
+                      tap_subsample=blend, tap_indices=keep)
         feats = list(out.feature_map)
         # append the const input tap (run_attention.py:1110)
         batch = wplus.shape[0]
@@ -269,26 +300,32 @@ class AttentionTrainer:
                 self.encode_image(loss_vars, imgs[0]))
             img2, wplus2 = imgs[1], wpluses[1]
             styles2 = [s[1] for s in styles_m]
-            feats2 = [f[1] for f in feats_m]
+            feats2 = [None if f is None else f[1] for f in feats_m]
         img2, wplus2 = _broadcast_row0(img2), _broadcast_row0(wplus2)
         styles2 = _broadcast_row0(styles2)
         feats2 = _broadcast_row0(feats2)
         att_text = _broadcast_row0(attention_text)
 
-        def loss_fn(mparams):
-            new_latents, mo = self._mapper_forward(
-                mparams, mapper_extra, cond_features, wplus2, styles2,
-                feats2, att_text)
+        def synth_edit(latents_in, amap, fm):
             gen_out = self.generator.apply(
                 gen_vars,
-                new_latents if cfg.work_in_stylespace else [new_latents],
+                latents_in if cfg.work_in_stylespace else [latents_in],
                 input_is_latent=not cfg.work_in_stylespace,
                 input_is_stylespace=cfg.work_in_stylespace,
                 randomize_noise=False,
                 attention_layer=cfg.attention_layer,
-                attention_map=mo.attention_map,
-                feature_map=feats2)
-            img_gen = gen_out.image
+                attention_map=amap,
+                feature_map=fm)
+            return gen_out.image
+
+        if cfg.remat:
+            synth_edit = jax.checkpoint(synth_edit)
+
+        def loss_fn(mparams):
+            new_latents, mo = self._mapper_forward(
+                mparams, mapper_extra, cond_features, wplus2, styles2,
+                feats2, att_text)
+            img_gen = synth_edit(new_latents, mo.attention_map, feats2)
             gen_features = self.encode_image(loss_vars, img_gen)
             loss_consist = infonce_consistency(gen_features, cond_features)
             loss_perceptual = self.perceptual(loss_vars, img_gen, img2)
