@@ -54,13 +54,15 @@ from where2edit_tpu.models.encoders import Encoder4Editing  # noqa: E402
 from where2edit_tpu.models.stylegan2 import Generator  # noqa: E402
 from where2edit_tpu.models.vgg import Vgg16  # noqa: E402
 
-SIZE = 1024
+# W2E_BENCH_SIZE: smoke the whole bench at a small resolution (e.g. 64 on
+# CPU with W2E_BENCH_ATT_LAYER=4) without touching the shipping config
+SIZE = int(os.environ.get("W2E_BENCH_SIZE", "1024"))
 # serving batch: throughput saturates ~batch 16-32 (batch 8 = 290 synth
 # imgs/s, 16 = 325, 32 = 353 — strong fixed-overhead amortization, PERF.md);
 # 16 keeps every pipeline stage comfortably in HBM (32 OOMs the one-time
 # full-tap capture used for mapper init)
 BATCH = int(os.environ.get("W2E_BENCH_BATCH", "16"))
-ATT_LAYER = 13
+ATT_LAYER = int(os.environ.get("W2E_BENCH_ATT_LAYER", "13"))
 BASELINE_PER_CHIP = 50.0 / 8.0
 
 
@@ -120,16 +122,19 @@ def main():
         return gen.apply(gv, [z], randomize_noise=False,
                          return_features=True)
 
-    z = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 512))
+    # batch 1: this one-time full-tap capture only seeds mapper init and the
+    # stage inputs (which broadcast to BATCH) — at serving batch it was the
+    # sole OOM blocker for W2E_BENCH_BATCH=32 (353 synth imgs/s, PERF.md)
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 512))
     out = jax.block_until_ready(synth_features(gvars, z))
     feats = list(out.feature_map)
     const = gvars["params"]["input"]["input"]
-    feats.append(jnp.broadcast_to(const, (BATCH, *const.shape[1:])))
+    feats.append(jnp.broadcast_to(const, (1, *const.shape[1:])))
 
     mapper = FullSpaceMapperFEATClusterLinStyle(
         layers=gen.n_latent, attention_layer=ATT_LAYER,
         cluster_layer=ATT_LAYER, clusters=10, generator_size=SIZE)
-    text0 = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 512))
+    text0 = jax.random.normal(jax.random.PRNGKey(3), (1, 512))
     blend_size = feats[ATT_LAYER - 1].shape[1]
     mvars = dict(jax.jit(lambda t, s, f: mapper.init(
         {"params": key}, t, s, f, blend_size,
@@ -202,20 +207,12 @@ def main():
                     + sum(jnp.mean(s) for s in cap.style_vector))
         capture_loop = stage_loop(capture_body)
 
-        def _mapper_ready(fm):
-            """Mirror the capture list for the edit stage ([-1] = const)."""
-            ready = []
-            for k, f in enumerate(fm):
-                if k < len(fm) - 1 and k not in keep:
-                    ready.append(None)
-                elif f.shape[1] > blend:
-                    s = f.shape[1] // blend
-                    ready.append(f[:, ::s, ::s, :])
-                else:
-                    ready.append(f)
-            return ready
+        # same mapper-ready list EditSession serves (the library helper keeps
+        # the trailing const tap and Nones-out everything else not in keep)
+        from where2edit_tpu.demo.api import subsample_for_mapper  # noqa: PLC0415
 
-        feats_ready = jax.jit(_mapper_ready)(feats_b)
+        feats_ready = jax.jit(
+            lambda fm: subsample_for_mapper(fm, blend, keep))(feats_b)
 
         def edit_body(i, gv, mv, texts, styles, fm, mfm):
             img, _, amap, _ = one_text_edit(
@@ -294,6 +291,20 @@ def main():
         emit(results, e2e_per_sec)
         return
 
+    try:
+        bench_training(results, key, gvars, mapper, clip_model,
+                       clip_vars, const)
+    except Exception as exc:  # noqa: BLE001 — a training-config failure
+        # (OOM, compile-service hiccup) must not cost the serving numbers:
+        # the driver records whatever this run emits
+        log(f"config 5 FAILED ({type(exc).__name__}: {exc}) — emitting "
+            "serving results anyway")
+        results["train_bench_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    emit(results, e2e_per_sec)
+
+
+def bench_training(results, key, gvars, mapper, clip_model,
+                   clip_vars, const):
     from where2edit_tpu.train.attention_trainer import (  # noqa: PLC0415
         AttentionTrainConfig,
         AttentionTrainer,
@@ -382,7 +393,6 @@ def main():
     dt8 = float(np.median(ts))
     results["train_samples_per_sec_per_chip_batch8_remat"] = round(8 / dt8, 3)
     log(f"  {results['train_samples_per_sec_per_chip_batch8_remat']} samples/s")
-    emit(results, e2e_per_sec)
 
 
 def emit(results, e2e_per_sec):

@@ -93,6 +93,25 @@ def test_e4e_encoder(enc_opts):
     np.testing.assert_allclose(np.asarray(out), out_ref, rtol=2e-3, atol=2e-3)
 
 
+def test_e4e_bf16_dtype_knob():
+    """Encoder4Editing(dtype=bf16) — the serving knob PERF.md documents
+    (accurate but not faster on this chip; off by default). Pin that the
+    dtype≠None branch stays wired: W+ cosine vs fp32 ≥ 0.999 on random
+    weights, and it is genuinely not a no-op (outputs differ)."""
+    jmod32 = Encoder4Editing(stylegan_size=1024)
+    jmod16 = Encoder4Editing(stylegan_size=1024, dtype=jnp.bfloat16)
+    x = jnp.asarray(RNG.standard_normal((1, 3, 256, 256)).astype(np.float32))
+    x = jnp.transpose(x, (0, 2, 3, 1))
+    variables = jmod32.init(jax.random.PRNGKey(7), x)
+    w32 = np.asarray(jmod32.apply(variables, x), np.float32).reshape(-1)
+    w16 = np.asarray(jmod16.apply(variables, x), np.float32).reshape(-1)
+    assert w32.shape == w16.shape == (18 * 512,)
+    assert np.any(w32 != w16), "bf16 knob is a no-op"
+    cos = float(np.dot(w32, w16)
+                / (np.linalg.norm(w32) * np.linalg.norm(w16)))
+    assert cos >= 0.999, cos
+
+
 def test_single_w_encoder(enc_opts):
     pe = ref_encoders()
     torch.manual_seed(5)

@@ -43,6 +43,11 @@ def build_argparser():
     p.add_argument("--truncation", type=float, default=0.7)
     p.add_argument("--description_dir", type=str, default="celeba-caption")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fp32", action="store_true",
+                   help="force full-fp32 synthesis (on TPU the session "
+                        "otherwise serves bf16+s2d — demo/app.py "
+                        "load_session; use this to reproduce the fp32 "
+                        "parity-gate numbers)")
     return p
 
 
@@ -141,7 +146,6 @@ def main(argv=None):
     # [4, 4, then 3 taps per octave] → 64 for layer 13 at 1024px, matching
     # the reference's hard-coded 64² labels, utils.py:669-671)
     map_size = 4 * 2 ** (args.attention_layer // 3)
-    blend_size = None
 
     def invert(img_arr):
         w = psp.encode(jnp.asarray(img_arr[None]))
@@ -154,8 +158,6 @@ def main(argv=None):
         feats = list(out.feature_map)
         const = session.gen_vars["params"]["input"]["input"]
         feats.append(jnp.broadcast_to(const, (w.shape[0], *const.shape[1:])))
-        nonlocal blend_size
-        blend_size = feats[args.attention_layer - 1].shape[1]
         session._last = (out.style_vector, feats)
         return feats
 
@@ -170,7 +172,7 @@ def main(argv=None):
         invert_fn=invert, features_fn=features, mapper_apply=mapper_apply,
         encode_text=closs.encode_text, tokenizer=tokenize,
         attention_layer=args.attention_layer,
-        image_label_pairs=pairs, blend_size=map_size)
+        image_label_pairs=pairs)
     print(json.dumps({"per_class_iou": list(map(float, per_class)),
                       "macro_iou": macro}))
     return macro

@@ -188,13 +188,19 @@ def main(argv=None):
     if args.latent_path:
         lat = load_torch_state(args.latent_path)
         if isinstance(lat, dict):  # native ckpt {"latents": ...}
-            lat = lat.get("latents", lat)
+            if "latents" not in lat:
+                raise SystemExit(
+                    f"--latent_path {args.latent_path} is a dict checkpoint "
+                    f"without a 'latents' key (keys: {sorted(lat)[:8]}); "
+                    "expected a W/W+ tensor or {'latents': tensor}")
+            lat = lat["latents"]
         lat = np.asarray(lat, dtype=np.float32)
         if lat.ndim == 2:  # W codes → broadcast to W+
             lat = np.repeat(lat[:, None, :], gen.n_latent, axis=1)
-        if lat.ndim != 3 or lat.shape[1] != gen.n_latent:
+        if (lat.ndim != 3 or lat.shape[1] != gen.n_latent
+                or lat.shape[2] != gen.style_dim):
             raise SystemExit(f"--latent_path shape {lat.shape} incompatible "
-                             f"with (N, {gen.n_latent}, 512)")
+                             f"with (N, {gen.n_latent}, {gen.style_dim})")
         latent_bank = jnp.asarray(lat)
         print(f"[latent_path] {latent_bank.shape[0]} inverted latents loaded")
 

@@ -34,8 +34,12 @@ def subsample_for_mapper(feature_map, blend_size: int, indices=None):
     entries become None. The 3-channel to_rgb taps are lane-padded ~42x
     under the TPU (8,128) tiled layout, so even a strided *read* of them
     costs more than all the conv taps together — skipping them is most of
-    the capture-stage win (PERF.md)."""
-    keep = None if indices is None else set(indices)
+    the capture-stage win (PERF.md). The LAST entry is always kept
+    regardless of ``indices``: every caller appends the const-input tap
+    (run_attention.py:1110), which the mapper reads as feature_map[-1] but
+    which is never in ``layer_num`` (keeping a surplus tap is merely
+    unprofitable; dropping the const is a crash)."""
+    keep = None if indices is None else set(indices) | {len(feature_map) - 1}
     return [None if (keep is not None and i not in keep)
             else interpolate_nearest(f, blend_size) if f.shape[1] > blend_size
             else f

@@ -46,7 +46,7 @@ def jaccard(pred: np.ndarray, true: np.ndarray):
 def calculate_iou(*, invert_fn: Callable, features_fn: Callable,
                   mapper_apply: Callable, encode_text: Callable,
                   tokenizer: Callable, attention_layer: int,
-                  image_label_pairs: Sequence, blend_size: int,
+                  image_label_pairs: Sequence,
                   limit: int = 90):
     """Full harness (utils.py:654-726): e4e-invert each test image, predict
     masks for the 8 fixed prompts, compare to remapped CelebAMask labels."""

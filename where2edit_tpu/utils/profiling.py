@@ -26,11 +26,19 @@ import jax
 
 
 def sync_fetch(res):
-    """Fetch one element of one output of ``res``'s producing program —
-    the only reliable execution fence on remote-tunnel backends where
-    block_until_ready resolves early. Returns ``res`` unchanged."""
-    leaf = jax.tree_util.tree_leaves(res)[0]
-    jax.device_get(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+    """Fetch one element of the first and last leaves of ``res`` — the only
+    reliable execution fence on remote-tunnel backends where
+    block_until_ready resolves early. Returns ``res`` unchanged.
+
+    When ``res`` collects outputs of several dispatched programs, the fetch
+    of the last leaf fences all of them: a single device executes programs
+    in dispatch order, and multi-program callers return results in that
+    order. (Fetching every leaf would cost one ~40 ms tunnel roundtrip per
+    leaf — a parameter tree has hundreds.)"""
+    leaves = jax.tree_util.tree_leaves(res)
+    for leaf in ({id(leaves[0]): leaves[0], id(leaves[-1]): leaves[-1]}.values()
+                 if leaves else ()):
+        jax.device_get(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
     return res
 
 
