@@ -80,7 +80,30 @@ def timeit(fn, *args, reps=3):
     return float(np.median(ts))
 
 
+def _probe_backend(timeout_s: int = 900):
+    """Fail fast (clear message, exit 3) if the device backend cannot be
+    claimed — on the remote tunnel an outage makes jax.devices() hang
+    indefinitely, which would look like a silent bench stall."""
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        info["devices"] = jax.devices()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        log(f"FATAL: device backend did not come up within {timeout_s}s "
+            "(remote tunnel outage?) — aborting instead of hanging")
+        os._exit(3)
+    log(f"devices: {info['devices']}")
+
+
 def main():
+    _probe_backend()
     key = jax.random.PRNGKey(0)
     results = {}
 
