@@ -22,6 +22,7 @@ Weights are random (zero-egress image) — identical FLOPs/layout to converted
 checkpoints, so throughput carries over.
 """
 
+import gc
 import json
 import os
 import sys
@@ -123,6 +124,43 @@ def main():
     # parameter inputs (measured: e4e fwd >35 min with constants vs 10 s
     # with parameters).
 
+    # W2E_BENCH_ONLY_TRAIN=1: run only config 5 (training) — for isolating
+    # training OOMs/regressions without paying the serving compiles
+    only_train = os.environ.get("W2E_BENCH_ONLY_TRAIN") == "1"
+
+    const = gvars["params"]["input"]["input"]
+    mapper = FullSpaceMapperFEATClusterLinStyle(
+        layers=gen.n_latent, attention_layer=ATT_LAYER,
+        cluster_layer=ATT_LAYER, clusters=10, generator_size=SIZE)
+    clip_model = CLIP()
+    clip_vars = jax.jit(lambda: clip_model.init(
+        {"params": key}, jnp.zeros((1, 224, 224, 3)),
+        jnp.zeros((1, 77), jnp.int32)))()
+
+    # ---------------- config 5: attention training step ----------------
+    # Runs FIRST: the batch-8 training variants are the tightest-memory
+    # programs in the suite, and anything the serving configs leave resident
+    # (e4e/stage arrays, loaded executables with their reserved temp arenas)
+    # crowds them out of HBM (measured: 5b OOMs after the serving configs
+    # but runs at 19 samples/s in a clean process).
+    if os.environ.get("W2E_BENCH_SKIP_TRAIN") == "1":
+        log("config 5 skipped (W2E_BENCH_SKIP_TRAIN=1)")
+    else:
+        try:
+            bench_training(results, key, gvars, mapper, clip_model,
+                           clip_vars, const)
+        except Exception as exc:  # noqa: BLE001 — a training-config failure
+            # (OOM, compile-service hiccup) must not cost the serving
+            # numbers: the driver records whatever this run emits
+            log(f"config 5 FAILED ({type(exc).__name__}: {exc}) — "
+                "continuing with serving configs")
+            results["train_bench_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        jax.clear_caches()
+        gc.collect()
+    if only_train:
+        emit(results, 0.0)
+        return
+
     # ---------------- config 2: synthesis-only batch forward ----------------
     N = 10
 
@@ -133,11 +171,12 @@ def main():
             return acc + jnp.mean(img)
         return jax.lax.fori_loop(0, N, body, 0.0)
 
-    log("config 2: synthesis-only …")
-    zs = jax.random.normal(jax.random.PRNGKey(1), (N, BATCH, 512))
-    dt = timeit(synth_loop, gvars, zs) / N
-    results["synthesis_only_imgs_per_sec_per_chip"] = round(BATCH / dt, 2)
-    log(f"  {results['synthesis_only_imgs_per_sec_per_chip']} imgs/s")
+    if not only_train:
+        log("config 2: synthesis-only …")
+        zs = jax.random.normal(jax.random.PRNGKey(1), (N, BATCH, 512))
+        dt = timeit(synth_loop, gvars, zs) / N
+        results["synthesis_only_imgs_per_sec_per_chip"] = round(BATCH / dt, 2)
+        log(f"  {results['synthesis_only_imgs_per_sec_per_chip']} imgs/s")
 
     # ---------------- models for the edit paths ----------------
     @jax.jit
@@ -151,23 +190,14 @@ def main():
     z = jax.random.normal(jax.random.PRNGKey(2), (1, 512))
     out = jax.block_until_ready(synth_features(gvars, z))
     feats = list(out.feature_map)
-    const = gvars["params"]["input"]["input"]
     feats.append(jnp.broadcast_to(const, (1, *const.shape[1:])))
 
-    mapper = FullSpaceMapperFEATClusterLinStyle(
-        layers=gen.n_latent, attention_layer=ATT_LAYER,
-        cluster_layer=ATT_LAYER, clusters=10, generator_size=SIZE)
     text0 = jax.random.normal(jax.random.PRNGKey(3), (1, 512))
     blend_size = feats[ATT_LAYER - 1].shape[1]
     mvars = dict(jax.jit(lambda t, s, f: mapper.init(
         {"params": key}, t, s, f, blend_size,
         deterministic_noise=True))(text0, out.style_vector, feats))
     mvars["clusters"] = {"initial_state": jax.random.normal(key, (10, 576))}
-
-    clip_model = CLIP()
-    clip_vars = jax.jit(lambda: clip_model.init(
-        {"params": key}, jnp.zeros((1, 224, 224, 3)),
-        jnp.zeros((1, 77), jnp.int32)))()
 
     e4e = Encoder4Editing(stylegan_size=SIZE)
     evars = jax.jit(lambda: e4e.init(
@@ -257,72 +287,61 @@ def main():
         }
         return stage_args
 
-    log(f"config 1: staged e2e edit at batch {BATCH} …")
-    per_edit = {}
-    for name, (loop, largs) in build_stages(BATCH).items():
-        log(f"  stage {name} …")
-        per_edit[name] = timeit(loop, *largs) / N
-        log(f"    {per_edit[name] * 1e3 / BATCH:.2f} ms/edit")
-    e2e_per_sec = BATCH / sum(per_edit.values())
-    results["e2e_edits_per_sec_per_chip"] = round(e2e_per_sec, 2)
-    results[f"e2e_stage_ms_per_edit_batch{BATCH}"] = {
-        k: round(v * 1e3 / BATCH, 3) for k, v in per_edit.items()}
-    # config 4 = the steady-state session cost (capture paid once per face)
-    results["interactive_edits_per_sec_per_chip"] = round(
-        BATCH / per_edit["edit"], 2)
-    log(f"  e2e {e2e_per_sec:.2f} edits/s; interactive "
-        f"{results['interactive_edits_per_sec_per_chip']} edits/s")
+    e2e_per_sec = 0.0
+    if not only_train:
+        log(f"config 1: staged e2e edit at batch {BATCH} …")
+        per_edit = {}
+        for name, (loop, largs) in build_stages(BATCH).items():
+            log(f"  stage {name} …")
+            per_edit[name] = timeit(loop, *largs) / N
+            log(f"    {per_edit[name] * 1e3 / BATCH:.2f} ms/edit")
+        e2e_per_sec = BATCH / sum(per_edit.values())
+        results["e2e_edits_per_sec_per_chip"] = round(e2e_per_sec, 2)
+        results[f"e2e_stage_ms_per_edit_batch{BATCH}"] = {
+            k: round(v * 1e3 / BATCH, 3) for k, v in per_edit.items()}
+        # config 4 = the steady-state session cost (capture once per face)
+        results["interactive_edits_per_sec_per_chip"] = round(
+            BATCH / per_edit["edit"], 2)
+        log(f"  e2e {e2e_per_sec:.2f} edits/s; interactive "
+            f"{results['interactive_edits_per_sec_per_chip']} edits/s")
 
-    log("config 1 at batch 1: p50 latency …")
-    per_edit1 = {}
-    for name, (loop, largs) in build_stages(1).items():
-        per_edit1[name] = timeit(loop, *largs) / N
-    results["e2e_p50_latency_ms_batch1"] = round(
-        sum(per_edit1.values()) * 1e3, 2)
-    log(f"  {results['e2e_p50_latency_ms_batch1']} ms")
+        log("config 1 at batch 1: p50 latency …")
+        per_edit1 = {}
+        for name, (loop, largs) in build_stages(1).items():
+            per_edit1[name] = timeit(loop, *largs) / N
+        results["e2e_p50_latency_ms_batch1"] = round(
+            sum(per_edit1.values()) * 1e3, 2)
+        log(f"  {results['e2e_p50_latency_ms_batch1']} ms")
 
-    # -------- config 3: StyleCLIP LevelsMapper inference --------
-    # The reference times run_on_batch = w + 0.1·mapper(w) → decode
-    # (mapper/scripts/inference.py:65-86, run_on_batch :90-98) over
-    # celeba-caption-trained coarse/medium/fine mappers. Same program here:
-    # LevelsMapper forward + 1024² decode per batch.
-    from where2edit_tpu.editing.latent_mappers import LevelsMapper  # noqa: PLC0415
+        # -------- config 3: StyleCLIP LevelsMapper inference --------
+        # The reference times run_on_batch = w + 0.1·mapper(w) → decode
+        # (mapper/scripts/inference.py:65-86, run_on_batch :90-98) over
+        # celeba-caption-trained coarse/medium/fine mappers. Same program
+        # here: LevelsMapper forward + 1024² decode per batch.
+        from where2edit_tpu.editing.latent_mappers import LevelsMapper  # noqa: PLC0415
 
-    log("config 3: StyleCLIP LevelsMapper inference …")
-    lmapper = LevelsMapper()
-    w0 = jax.random.normal(jax.random.PRNGKey(9), (BATCH, gen.n_latent, 512))
-    lm_vars = jax.jit(lambda w: lmapper.init({"params": key}, w))(w0)
+        log("config 3: StyleCLIP LevelsMapper inference …")
+        lmapper = LevelsMapper()
+        w0 = jax.random.normal(jax.random.PRNGKey(9),
+                               (BATCH, gen.n_latent, 512))
+        lm_vars = jax.jit(lambda w: lmapper.init({"params": key}, w))(w0)
 
-    def mapper_inf_body(i, gv, mv, ws):
-        w = ws[i]
-        w_hat = w + 0.1 * lmapper.apply(mv, w)
-        img = gen.apply(gv, [w_hat], input_is_latent=True,
-                        randomize_noise=False).image
-        return jnp.mean(img)
+        def mapper_inf_body(i, gv, mv, ws):
+            w = ws[i]
+            w_hat = w + 0.1 * lmapper.apply(mv, w)
+            img = gen.apply(gv, [w_hat], input_is_latent=True,
+                            randomize_noise=False).image
+            return jnp.mean(img)
 
-    mapper_inf_loop = stage_loop(mapper_inf_body)
-    ws = jax.random.normal(jax.random.PRNGKey(10),
-                           (N, BATCH, gen.n_latent, 512))
-    dt = timeit(mapper_inf_loop, gvars, lm_vars, ws) / N
-    results["styleclip_mapper_edits_per_sec_per_chip"] = round(BATCH / dt, 2)
-    results[f"styleclip_mapper_ms_per_batch{BATCH}"] = round(dt * 1e3, 3)
-    log(f"  {results['styleclip_mapper_edits_per_sec_per_chip']} edits/s")
+        mapper_inf_loop = stage_loop(mapper_inf_body)
+        ws = jax.random.normal(jax.random.PRNGKey(10),
+                               (N, BATCH, gen.n_latent, 512))
+        dt = timeit(mapper_inf_loop, gvars, lm_vars, ws) / N
+        results["styleclip_mapper_edits_per_sec_per_chip"] = round(
+            BATCH / dt, 2)
+        results[f"styleclip_mapper_ms_per_batch{BATCH}"] = round(dt * 1e3, 3)
+        log(f"  {results['styleclip_mapper_edits_per_sec_per_chip']} edits/s")
 
-    # ---------------- config 5: attention training step ----------------
-    if os.environ.get("W2E_BENCH_SKIP_TRAIN") == "1":
-        log("config 5 skipped (W2E_BENCH_SKIP_TRAIN=1)")
-        emit(results, e2e_per_sec)
-        return
-
-    try:
-        bench_training(results, key, gvars, mapper, clip_model,
-                       clip_vars, const)
-    except Exception as exc:  # noqa: BLE001 — a training-config failure
-        # (OOM, compile-service hiccup) must not cost the serving numbers:
-        # the driver records whatever this run emits
-        log(f"config 5 FAILED ({type(exc).__name__}: {exc}) — emitting "
-            "serving results anyway")
-        results["train_bench_error"] = f"{type(exc).__name__}: {exc}"[:200]
     emit(results, e2e_per_sec)
 
 
@@ -353,75 +372,88 @@ def bench_training(results, key, gvars, mapper, clip_model,
     mvars_t["clusters"] = {"initial_state":
                            jax.random.normal(key, (10, 576))}
 
-    cfg = AttentionTrainConfig(
-        stylegan_size=SIZE, attention_layer=ATT_LAYER,
-        cluster_layer=ATT_LAYER, batch_size=train_batch, step=100,
-        work_in_stylespace=True)
-    trainer = AttentionTrainer(
-        cfg, generator=gen_train, gen_vars=gvars, mapper=mapper,
-        mapper_params=mvars_t["params"],
-        encode_image=lambda lv, img: clip_loss.apply_encode_image(
-            lv["clip"], img),
-        perceptual=lambda lv, a, b_: perceptual.apply(lv["vgg"], a, b_),
-        mean_latent=jnp.zeros((1, 512)),
-        mapper_extra_variables={"clusters": mvars_t["clusters"]},
-        loss_variables={"clip": clip_vars, "vgg": vgg_vars})
-
-    log("config 5: training step (3x synthesis + CLIP + VGG + backward) …")
     bank = jax.random.normal(jax.random.PRNGKey(7), (7, 512))
 
-    def train_once(params, opt_state):
-        return trainer.step_fn(params, opt_state, jnp.asarray(1.0),
-                               jax.random.PRNGKey(8), bank)
+    def release_executables():
+        """Loaded TPU executables keep their temporary arenas resident; the
+        serving programs + three training variants do not coexist on one
+        chip (measured: config 5b OOMs in the full bench but runs alone at
+        19 samples/s). Dropping the jit caches unloads finished programs;
+        the persistent compile cache makes any re-trace cheap."""
+        jax.clear_caches()
+        gc.collect()
 
-    res = sync(train_once(trainer.mapper_params, trainer.opt_state))
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        res = sync(train_once(res[0], res[1]))
-        ts.append(time.time() - t0)
-    dt = float(np.median(ts))
-    results["train_steps_per_sec_per_chip"] = round(1.0 / dt, 3)
-    results["train_samples_per_sec_per_chip"] = round(train_batch / dt, 3)
-    log(f"  {results['train_steps_per_sec_per_chip']} steps/s")
+    def measure(label, result_key, batch, gen_variant, extra_cfg):
+        log(f"config {label} …")
+        cfg = AttentionTrainConfig(
+            stylegan_size=SIZE, attention_layer=ATT_LAYER,
+            cluster_layer=ATT_LAYER, batch_size=batch, step=100,
+            work_in_stylespace=True, **extra_cfg)
+        trainer = AttentionTrainer(
+            cfg, generator=gen_variant, gen_vars=gvars, mapper=mapper,
+            mapper_params=mvars_t["params"],
+            encode_image=lambda lv, img: clip_loss.apply_encode_image(
+                lv["clip"], img),
+            perceptual=lambda lv, a, b_: perceptual.apply(lv["vgg"], a, b_),
+            mean_latent=jnp.zeros((1, 512)),
+            mapper_extra_variables={"clusters": mvars_t["clusters"]},
+            loss_variables={"clip": clip_vars, "vgg": vgg_vars})
 
-    # scaling variant: batch 8/chip with rematerialized grad-pass synthesis
-    # (fp32 batch >4/chip does not fit without cfg.remat) — the per-chip
-    # sample throughput a user gets by raising batch instead of chips
-    log("config 5b: training step, batch 8 + remat …")
-    cfg8 = AttentionTrainConfig(
-        stylegan_size=SIZE, attention_layer=ATT_LAYER,
-        cluster_layer=ATT_LAYER, batch_size=8, step=100,
-        work_in_stylespace=True, remat=True)
-    trainer8 = AttentionTrainer(
-        cfg8, generator=gen_train, gen_vars=gvars, mapper=mapper,
-        mapper_params=mvars_t["params"],
-        encode_image=lambda lv, img: clip_loss.apply_encode_image(
-            lv["clip"], img),
-        perceptual=lambda lv, a, b_: perceptual.apply(lv["vgg"], a, b_),
-        mean_latent=jnp.zeros((1, 512)),
-        mapper_extra_variables={"clusters": mvars_t["clusters"]},
-        loss_variables={"clip": clip_vars, "vgg": vgg_vars})
+        def once(params, opt_state):
+            return trainer.step_fn(params, opt_state, jnp.asarray(1.0),
+                                   jax.random.PRNGKey(8), bank)
 
-    def train8_once(params, opt_state):
-        return trainer8.step_fn(params, opt_state, jnp.asarray(1.0),
-                                jax.random.PRNGKey(8), bank)
+        res = sync(once(trainer.mapper_params, trainer.opt_state))
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            res = sync(once(res[0], res[1]))
+            ts.append(time.time() - t0)
+        dt = float(np.median(ts))
+        results[result_key] = round(batch / dt, 3)
+        if batch == 1:
+            results["train_steps_per_sec_per_chip"] = round(1.0 / dt, 3)
+        log(f"  {results[result_key]} samples/s")
 
-    res = sync(train8_once(trainer8.mapper_params, trainer8.opt_state))
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        res = sync(train8_once(res[0], res[1]))
-        ts.append(time.time() - t0)
-    dt8 = float(np.median(ts))
-    results["train_samples_per_sec_per_chip_batch8_remat"] = round(8 / dt8, 3)
-    log(f"  {results['train_samples_per_sec_per_chip_batch8_remat']} samples/s")
+    variants = [
+        # reference per-GPU config: batch 1 fp32 (train_scripts.sh:2)
+        ("5: training step (3x synthesis + CLIP + VGG + backward)",
+         "train_samples_per_sec_per_chip", 1, gen_train, {}),
+        # scaling variant: batch 8/chip, rematerialized grad-pass synthesis
+        # (fp32 batch >4/chip does not fit without cfg.remat)
+        ("5b: training step, batch 8 + remat",
+         "train_samples_per_sec_per_chip_batch8_remat", 8, gen_train,
+         {"remat": True}),
+        # AMP analogue: bf16 synthesis during training (the reference's
+        # opt-in --amp, run_attention.py:1068-1069; ours is --bf16 on
+        # cli/run_attention.py — losses/demod stay fp32). Same batch-8 +
+        # remat config so the fp32 row above is directly comparable.
+        ("5c: training step, batch 8 + remat + bf16 synthesis",
+         "train_samples_per_sec_per_chip_batch8_bf16", 8,
+         Generator(size=SIZE, dtype=jnp.bfloat16), {"remat": True}),
+    ]
+    for label, result_key, batch, gen_variant, extra_cfg in variants:
+        # HBM-fit fallback ladder: the batch-8 step peaks within ~1 GB of
+        # the chip's capacity, so on a tighter environment (shared tunnel,
+        # resident arrays) report the largest batch that fits instead of
+        # nothing — under an honest key naming the batch actually used
+        for b_try in ([batch] if batch == 1 else [batch, 6, 4]):
+            rk = result_key.replace(f"batch{batch}", f"batch{b_try}")
+            release_executables()
+            try:
+                measure(label, rk, b_try, gen_variant, extra_cfg)
+                break
+            except Exception as exc:  # noqa: BLE001 — isolate variant fails
+                log(f"config {label} at batch {b_try} FAILED "
+                    f"({type(exc).__name__}: {exc})")
+                results[f"{rk}_error"] = (
+                    f"{type(exc).__name__}: {exc}"[:200])
 
 
 def emit(results, e2e_per_sec):
     print(json.dumps({
         "metric": "1024px_e2e_edits_per_sec_per_chip",
-        "value": results["e2e_edits_per_sec_per_chip"],
+        "value": results.get("e2e_edits_per_sec_per_chip", 0.0),
         "unit": "edits/s/chip",
         "vs_baseline": round(e2e_per_sec / BASELINE_PER_CHIP, 3),
         "configs": results,
