@@ -1,0 +1,67 @@
+"""bench.py end-to-end smoke (the driver-critical artifact).
+
+The driver runs ``python bench.py`` at the end of every round and records
+its single JSON line; a crash there means the round ships no numbers. This
+gate runs the WHOLE bench — all training variants plus every serving
+config — at 64px on CPU in a subprocess and asserts the contract: exactly
+one JSON line on stdout with the four required keys plus the per-config
+results.
+
+Compiles dominate the runtime; a persistent compile cache dir keeps reruns
+on the same machine fast.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_bench_smoke_cpu_64px(tmp_path):
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        W2E_BENCH_SIZE="64",
+        W2E_BENCH_ATT_LAYER="4",
+        W2E_BENCH_BATCH="2",
+        W2E_JAX_CACHE="/tmp/w2e_cpu_cache",  # persists across runs
+    )
+    # the conftest's 8-device flag must not leak into the subprocess — the
+    # bench is a single-chip program
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    # contract: stdout is exactly one JSON object line
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, proc.stdout
+    payload = json.loads(lines[0])
+    for k in ("metric", "value", "unit", "vs_baseline"):
+        assert k in payload, payload
+
+    cfgs = payload["configs"]
+    # every BASELINE config must be present (values are 64px-CPU-meaningless;
+    # presence + finiteness is the contract)
+    for k in (
+        "e2e_edits_per_sec_per_chip",
+        "synthesis_only_imgs_per_sec_per_chip",
+        "styleclip_mapper_edits_per_sec_per_chip",
+        "interactive_edits_per_sec_per_chip",
+        "e2e_p50_latency_ms_batch1",
+        "train_steps_per_sec_per_chip",
+        "train_samples_per_sec_per_chip",
+    ):
+        assert k in cfgs, (k, sorted(cfgs))
+        assert cfgs[k] > 0, (k, cfgs[k])
+    # the scaling training variants either produced a number at SOME batch
+    # (fallback ladder) or recorded an honest error key — never silence
+    assert any(k.startswith("train_samples_per_sec_per_chip_batch")
+               for k in cfgs), sorted(cfgs)
+    assert payload["value"] == cfgs["e2e_edits_per_sec_per_chip"]
