@@ -102,7 +102,7 @@ def parse_trace(trace_dir: str, top: int = 40):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--what", choices=["edit", "synth", "mapper"],
+    p.add_argument("--what", choices=["edit", "synth", "mapper", "invert"],
                    default="edit")
     p.add_argument("--s2d", type=int, default=1)
     p.add_argument("--fp32_head", type=int, default=0)
@@ -113,6 +113,33 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/w2e_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.what == "invert":
+        # the e2e invert stage: e4e forward over 256² faces → W+
+        from where2edit_tpu.models.encoders import Encoder4Editing  # noqa: PLC0415
+        from where2edit_tpu.utils.profiling import sync_fetch  # noqa: PLC0415
+
+        e4e = Encoder4Editing(stylegan_size=1024)
+        key = jax.random.PRNGKey(0)
+        evars = jax.jit(lambda: e4e.init(
+            {"params": key}, jnp.zeros((1, 256, 256, 3))))()
+        faces = jax.random.normal(key, (args.batch, 256, 256, 3))
+
+        @jax.jit
+        def step(ev, img):
+            return e4e.apply(ev, img)
+        fn = lambda: step(evars, faces)  # noqa: E731
+
+        sync_fetch(fn())
+        t0 = time.time()
+        sync_fetch(fn())
+        print(f"[invert] batch={args.batch}: "
+              f"{(time.time() - t0) * 1e3:.2f} ms/step (incl. dispatch)")
+        with jax.profiler.trace(args.out):
+            for _ in range(args.reps):
+                sync_fetch(fn())
+        parse_trace(args.out)
+        return
 
     gen, gvars, mapper, mvars, text, out, feats, att = build(
         args.batch, s2d_octaves=args.s2d, fp32_head=args.fp32_head,
