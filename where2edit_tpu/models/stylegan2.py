@@ -120,6 +120,19 @@ class Generator(fnn.Module):
     # default; bf16 halves the chain's (padding-dominated) HBM traffic for
     # serving. The returned image is in this dtype.
     rgb_dtype: jnp.dtype = jnp.float32
+    # Spatial (SP) sharding: with a jax.sharding.Mesh here, every octave's
+    # activations are sharding-constrained along H over ``spatial_axis`` and
+    # GSPMD partitions the convs with automatic halo exchanges — the
+    # TPU-native way to scale the 1024² synthesis activations beyond one
+    # chip's HBM or to cut batch-1 latency (SURVEY.md §2.3: the reference
+    # has no model parallelism; this is the idiomatic extension). The batch
+    # dim is left UNCONSTRAINED so a data axis composes (DP x SP meshes).
+    # Exactness: conv halo exchange is bit-exact (tests/test_spatial_sharding).
+    spatial_mesh: Optional[Any] = None
+    spatial_axis: str = "sp"
+    # only shard tensors with at least this many rows per shard — tiny
+    # octaves would pay collective latency for no memory/compute relief
+    spatial_min_rows_per_shard: int = 4
 
     @property
     def log_size(self) -> int:
@@ -265,6 +278,21 @@ class Generator(fnn.Module):
         style_vector: list = []
         taps: list = []
 
+        if self.spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+            n_shards = self.spatial_mesh.shape[self.spatial_axis]
+            sp_sharding = NamedSharding(
+                self.spatial_mesh,
+                PartitionSpec(PartitionSpec.UNCONSTRAINED, self.spatial_axis))
+
+            def shard_sp(x):
+                if x.shape[1] < self.spatial_min_rows_per_shard * n_shards:
+                    return x
+                return jax.lax.with_sharding_constraint(x, sp_sharding)
+        else:
+            shard_sp = lambda x: x  # noqa: E731
+
         keep_taps = None if tap_indices is None else set(tap_indices)
 
         def store(x, idx):
@@ -384,10 +412,12 @@ class Generator(fnn.Module):
                 out, s1 = conv_up(out, get(i), noise=n1,
                                   input_is_stylespace=input_is_stylespace,
                                   s2d_out=True)
+                out = shard_sp(out)
                 tap_s2d(out)
                 out, s2 = conv(out, get(i + 1), noise=n2,
                                input_is_stylespace=input_is_stylespace,
                                s2d_in=True, s2d_out=True)
+                out = shard_sp(out)
                 tap_s2d(out)
                 # the final octave's to_rgb + skip-add stay in s2d layout;
                 # ONE depth_to_space materializes the image after the loop
@@ -402,12 +432,15 @@ class Generator(fnn.Module):
             else:
                 out, s1 = conv_up(out, get(i), noise=n1,
                                   input_is_stylespace=input_is_stylespace)
+                out = shard_sp(out)
                 out = tap(out)
                 out, s2 = conv(out, get(i + 1), noise=n2,
                                input_is_stylespace=input_is_stylespace)
+                out = shard_sp(out)
                 out = tap(out)
                 skip, s3 = to_rgb(out, get(i + 2), skip,
                                   input_is_stylespace=input_is_stylespace)
+                skip = shard_sp(skip)
                 skip = tap(skip)
             style_vector.extend([s1, s2, s3])
             i += step
