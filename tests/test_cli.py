@@ -110,6 +110,27 @@ def test_run_attention_cli_dp_mesh(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_attention_cli_dp_sp_mesh(tmp_path):
+    """--dp 2 --sp 4: the batch shards over 'data' while the generator
+    spatially shards the synthesis activations over the 'model' axis
+    (GSPMD halo-exchanged convs) — DP x SP from the CLI on one 2D mesh."""
+    import jax
+
+    from where2edit_tpu.cli import run_attention as cli
+
+    assert len(jax.devices()) >= 8
+    out_dir = cli.main([
+        "--stylegan_size", "32", "--attention_layer", "4",
+        "--cluster_layer", "4", "--batch_size", "2", "--step", "2",
+        "--dp", "2", "--sp", "4",
+        "--save_intermediate_image_every", "0",
+        "--results_dir", str(tmp_path / "results"),
+        "--ckpt", "/nonexistent", "--seed", "3",
+    ])
+    assert os.path.isdir(os.path.join(out_dir, "final_mapper"))
+
+
+@pytest.mark.slow
 def test_run_attention_cli_latent_path_and_text_condition(tmp_path):
     """--latent_path trains on loaded inverted W+ rows instead of sampled z
     (run_attention.py:1184-1186,1571-1575) and --text_condition conditions

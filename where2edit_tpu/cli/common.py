@@ -38,17 +38,22 @@ def load_torch_state(path: str):
 def build_generator(size: int, ckpt_path: str | None,
                     channel_multiplier: int = 2,
                     dtype: jnp.dtype = jnp.float32, s2d_octaves: int = 0,
-                    rgb_dtype: jnp.dtype = jnp.float32):
+                    rgb_dtype: jnp.dtype = jnp.float32,
+                    spatial_mesh=None, spatial_axis: str = "sp"):
     """Generator + variables (converted from a rosinality checkpoint when
     given, random init otherwise) + mean latent helper.
 
     ``dtype=jnp.bfloat16`` is the train-time AMP analogue (reference opt-in
     --amp, run_attention.py:1068-1069): synthesis activations run in bf16
     while params, demodulation and the RGB chain stay fp32.
+    ``spatial_mesh``/``spatial_axis``: spatially shard the synthesis
+    activations along H over that mesh axis (GSPMD halo-exchanged convs,
+    models/stylegan2.py).
     """
     gen = Generator(size=size, channel_multiplier=channel_multiplier,
                     dtype=dtype, s2d_octaves=s2d_octaves,
-                    rgb_dtype=rgb_dtype)
+                    rgb_dtype=rgb_dtype, spatial_mesh=spatial_mesh,
+                    spatial_axis=spatial_axis)
     if ckpt_path and os.path.isfile(ckpt_path):
         ckpt = load_torch_state(ckpt_path)
         sd = ckpt.get("g_ema", ckpt)

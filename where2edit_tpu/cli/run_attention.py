@@ -97,6 +97,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "over an N-device 'data' mesh (the reference's 8-way "
                         "DDP launch, train_scripts.sh:2). -1 = all devices; "
                         "0 = single device. batch_size must divide evenly.")
+    p.add_argument("--sp", type=int, default=0,
+                   help="spatially shard the synthesis activations over M "
+                        "devices ('model' mesh axis; GSPMD halo-exchanged "
+                        "convs — no reference analogue, SURVEY.md §2.3). "
+                        "Composes with --dp: total devices = dp x sp.")
     p.add_argument("--truncation", type=float, default=0.7)
     p.add_argument("--work_in_stylespace", action="store_true")
     p.add_argument("--save_intermediate_image_every", type=int, default=20)
@@ -153,19 +158,22 @@ def main(argv=None):
                          rng)
 
     mesh = None
-    if args.dp:
+    if args.dp or args.sp:
         from where2edit_tpu.parallel.mesh import make_mesh  # noqa: PLC0415
 
-        n_dp = len(jax.devices()) if args.dp == -1 else args.dp
+        n_sp = max(args.sp, 1)
+        avail = len(jax.devices()) // n_sp
+        n_dp = avail if args.dp == -1 else max(args.dp, 1)
         if args.batch_size % n_dp:
             raise SystemExit(f"--batch_size {args.batch_size} not divisible "
                              f"by --dp {n_dp}")
-        mesh = make_mesh(data=n_dp)
-        print(f"[dp] {n_dp}-device data mesh: {mesh}")
+        mesh = make_mesh(data=n_dp, model=n_sp)
+        print(f"[mesh] data={n_dp} x model(sp)={n_sp}: {mesh}")
 
     gen, gvars, _ = build_generator(
         args.stylegan_size, args.ckpt, args.channel_multiplier,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        spatial_mesh=mesh if args.sp else None, spatial_axis="model")
     key, k = jax.random.split(key)
     mean_w = mean_latent(gen, gvars, k)
 
