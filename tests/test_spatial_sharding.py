@@ -104,6 +104,48 @@ def test_spatial_plus_data_mesh_composes():
     assert "sp" in str(ns.spec) and "data" in str(ns.spec), ns
 
 
+def test_tensor_parallel_params_exact():
+    """TP: conv kernels sharded over cout (parallel.tp) — GSPMD partitions
+    every modulated conv channel-wise; output matches up to psum
+    reduction order."""
+    from where2edit_tpu.parallel.tp import shard_generator_params
+
+    gen = Generator(size=SIZE)
+    gvars = _init_vars(gen)
+    mesh = _mesh((8,), ("model",))
+    gvars_tp = shard_generator_params(mesh, gvars)
+
+    z = jax.random.normal(jax.random.PRNGKey(7), (2, 512))
+    fwd = jax.jit(lambda v, z: gen.apply(v, [z], randomize_noise=False).image)
+    np.testing.assert_allclose(np.asarray(fwd(gvars_tp, z)),
+                               np.asarray(fwd(gvars, z)),
+                               rtol=0, atol=5e-5)
+    # the small rgb heads stay replicated; big conv kernels are sharded
+    w = gvars_tp["params"]["convs_1"]["conv"]["weight"]
+    assert "model" in str(w.sharding.spec), w.sharding
+
+
+def test_tensor_parallel_composes_with_data():
+    """DP x TP on a ('data','model') mesh: batch over data, conv kernels
+    over model. (TP x SP on one mesh is NOT supported: XLA's SPMD
+    partitioner miscompiles that resharding — see parallel/tp.py WARNING.)"""
+    from where2edit_tpu.parallel.tp import shard_generator_params
+
+    mesh = _mesh((2, 4), ("data", "model"))
+    gen = Generator(size=SIZE)
+    gvars = _init_vars(gen)
+    gvars_tp = shard_generator_params(mesh, gvars)
+
+    z = jax.random.normal(jax.random.PRNGKey(8), (4, 512))
+    ref = jax.jit(lambda v, z: gen.apply(
+        v, [z], randomize_noise=False).image)(gvars, z)
+    z_sharded = jax.device_put(z, NamedSharding(mesh, P("data", None)))
+    got = jax.jit(lambda v, z: gen.apply(
+        v, [z], randomize_noise=False).image)(gvars_tp, z_sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
 @pytest.mark.parametrize("s2d", [1])
 def test_spatial_sharding_composes_with_s2d(s2d):
     gen = Generator(size=SIZE, s2d_octaves=s2d)

@@ -17,6 +17,7 @@ from where2edit_tpu.parallel.collectives import (
     gather_with_grad,
     broadcast_from_first,
 )
+from where2edit_tpu.parallel.tp import shard_generator_params
 
 __all__ = [
     "make_mesh",
@@ -25,4 +26,5 @@ __all__ = [
     "shard_batch",
     "gather_with_grad",
     "broadcast_from_first",
+    "shard_generator_params",
 ]

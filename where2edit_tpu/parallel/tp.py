@@ -1,0 +1,49 @@
+"""Tensor parallelism (TP) for the synthesis stack — channel-sharded params.
+
+The reference has no model parallelism (SURVEY.md §2.3); on TPU, sharding
+the generator's conv kernels over their OUTPUT channel across a mesh axis
+makes GSPMD partition every modulated conv channel-wise: each device
+computes a C/n slice of every octave's activations, with the partial-sum
+psum / all-gathers inserted automatically. No module changes — it is purely
+a placement of the parameter pytree, composable with the generator's
+spatial sharding (``Generator(spatial_mesh=...)``) and a ``data`` axis on
+the same mesh.
+
+Use when per-chip HBM or batch-1 latency is the constraint. Composes with
+a ``data`` axis (DP x TP); exactness (up to psum reduction order, ~1e-5
+fp32) is pinned by tests/test_spatial_sharding.py.
+
+WARNING — do NOT combine with ``Generator(spatial_mesh=...)`` on the same
+mesh: XLA's SPMD partitioner hits its "involuntary full rematerialization"
+fallback on the channel+spatial resharding (its own warning cites tracked
+bug b/433785288, to be fixed by the Shardy partitioner) and, as measured
+on jax 0.9.0's CPU backend, produces WRONG VALUES (max abs error ~8 on a
+[-1,1] image). Pick one of SP or TP per program until Shardy lands.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_generator_params(mesh: Mesh, variables, axis: str = "model",
+                           min_channels: int = 64):
+    """Device-put a generator variable tree with TP sharding.
+
+    Conv kernels ``(kh, kw, cin, cout)`` whose ``cout`` is a multiple of the
+    axis size and at least ``min_channels`` are sharded over ``axis``;
+    everything else (style MLP, biases, noise buffers, small to_rgb heads)
+    is replicated. Small tensors sharded across chips would pay collective
+    latency for no relief — the 3-channel rgb kernels stay replicated.
+    """
+    n = mesh.shape[axis]
+
+    def place(x):
+        if (getattr(x, "ndim", 0) == 4 and x.shape[-1] >= min_channels
+                and x.shape[-1] % n == 0):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(None, None, None, axis)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, variables)
