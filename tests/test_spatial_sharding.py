@@ -146,6 +146,55 @@ def test_tensor_parallel_composes_with_data():
                                rtol=0, atol=5e-5)
 
 
+def test_edit_session_with_spatial_mesh():
+    """The serving session accepts a spatially-sharded generator untouched:
+    capture (tap subsampling on sharded activations) and the jitted edit
+    produce the same images as the unsharded session."""
+    from where2edit_tpu.demo.api import EditSession
+    from where2edit_tpu.editing.attention_mappers import (
+        FullSpaceMapperFEATClusterLinStyle,
+    )
+
+    att = 4
+    mesh = _mesh((8,), ("sp",))
+    gen = Generator(size=SIZE)
+    gvars = _init_vars(gen)
+    gen_sp = Generator(size=SIZE, spatial_mesh=mesh)
+
+    mapper = FullSpaceMapperFEATClusterLinStyle(
+        layers=gen.n_latent, attention_layer=att, cluster_layer=att,
+        clusters=4, cluster_dim=512 + 64, generator_size=SIZE)
+    key = jax.random.PRNGKey(0)
+    out = jax.jit(lambda v, z: gen.apply(
+        v, [z], randomize_noise=False, return_features=True))(
+        gvars, jnp.ones((1, 512)))
+    feats = list(out.feature_map)
+    const = gvars["params"]["input"]["input"]
+    feats.append(jnp.broadcast_to(const, (1, *const.shape[1:])))
+    blend = feats[att - 1].shape[1]
+    mvars = dict(jax.jit(lambda t, s, f: mapper.init(
+        {"params": key}, t, s, f, blend, train=False,
+        deterministic_noise=True))(jnp.ones((1, 512)), out.style_vector,
+                                   feats))
+    mvars["clusters"] = {"initial_state":
+                         jax.random.normal(key, (4, 512 + 64))}
+
+    def run(g):
+        sess = EditSession(generator=g, gen_vars=gvars, mapper=mapper,
+                           mapper_vars=mvars,
+                           clip_encode_text=lambda t: t.astype(jnp.float32),
+                           attention_layer=att)
+        orig = sess.load_synthetic(jax.random.PRNGKey(5))
+        img, amap = sess.edit(jnp.ones((1, 512)), strength_alpha=0.1)
+        return np.asarray(orig), np.asarray(img), np.asarray(amap)
+
+    o_ref, i_ref, a_ref = run(gen)
+    o_sp, i_sp, a_sp = run(gen_sp)
+    np.testing.assert_allclose(o_sp, o_ref, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(i_sp, i_ref, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(a_sp, a_ref, rtol=0, atol=1e-5)
+
+
 @pytest.mark.parametrize("s2d", [1])
 def test_spatial_sharding_composes_with_s2d(s2d):
     gen = Generator(size=SIZE, s2d_octaves=s2d)
