@@ -30,6 +30,11 @@ import pytest  # noqa: E402
 # `pytest -m "not slow"` stays <3 min while still covering the numerics.
 SLOW_TESTS = {
     "test_dp_sharded_serving",
+    "test_spatial_sharded_masked_blend_and_taps",
+    "test_spatial_plus_data_mesh_composes",
+    "test_tensor_parallel_composes_with_data",
+    "test_edit_session_with_spatial_mesh",
+    "test_spatial_sharding_composes_with_s2d",
     "test_psp_composite_random_weights",
     "test_dp_sharded_step_runs_on_8_devices",
     "test_dp_step_equals_single_device_global_batch",
