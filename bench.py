@@ -240,15 +240,13 @@ def main():
             return jnp.sum(e4e.apply(ev, im + 1e-4 * i))
         invert_loop = stage_loop(invert_body)
 
-        from where2edit_tpu.demo.api import blend_tap_indices  # noqa: PLC0415
-        from where2edit_tpu.editing.attention_mappers import attention_tables  # noqa: PLC0415
+        from where2edit_tpu.editing.attention_mappers import tap_controls  # noqa: PLC0415
 
         # EditSession capture semantics: the generator emits mapper-ready
         # taps (subsampled at the source, s2d-space slices, dropped where
-        # unread) — one list serves the mapper AND the blend
-        keep = sorted(set(attention_tables(SIZE)["layer_num"])
-                      | set(blend_tap_indices(ATT_LAYER)))
-        blend = feats_b[ATT_LAYER - 1].shape[1]
+        # unread) — one list serves the mapper AND the blend. tap_controls
+        # is the single source of truth (incl. the cluster tap).
+        blend, keep = tap_controls(SIZE, ATT_LAYER, ATT_LAYER)
 
         def capture_body(i, gv, w):
             cap = gen.apply(gv, [w + 1e-4 * i], input_is_latent=True,

@@ -146,6 +146,58 @@ def test_att_lin_style_variant():
             assert s.shape == (B, d)
 
 
+def test_feat_attention_trunk_matches_unfused():
+    """The fused _FeatAttentionTrunk (per-tap C→1 composed kernels + sum)
+    must equal the reference formulation computed from the SAME params:
+    per-tap C→32 1x1 convs (+bias) → resize to blend size → concat →
+    544→1 conv (+bias). Mixed tap resolutions exercise both the subsample
+    and the upsample paths."""
+    import math
+
+    from where2edit_tpu.editing.attention_mappers import _FeatAttentionTrunk
+    from where2edit_tpu.ops.interpolate import interpolate_nearest
+
+    tables = attention_tables(1024)
+    layers = 18
+    trunk = _FeatAttentionTrunk(layers=layers, generator_size=1024)
+
+    key = jax.random.PRNGKey(0)
+    size = 8
+    # native resolutions alternate below/above the blend size
+    fm = []
+    for i, c in enumerate(tables["tap_channels"]):
+        res = 4 if i % 2 == 0 else 16
+        fm.append(jax.random.normal(jax.random.PRNGKey(i), (B, res, res, c)))
+    fm.append(jax.random.normal(key, (B, 4, 4, 512)))  # const tap
+
+    variables = trunk.init({"params": key}, fm, size)
+    fused = trunk.apply(variables, fm, size)
+
+    p = variables["params"]
+    dim = tables["wplus_dims"]
+    layer_num = tables["layer_num"]
+    taps = [(fm[-1], dim[0], "attention_first")]
+    taps += [(fm[layer_num[c]], dim[c], f"attention_{c}")
+             for c in range(layers - 1)]
+    maps = []
+    for feat, d, name in taps:
+        w = p[name]["weight"][0, 0] * (1.0 / math.sqrt(d))
+        b = p[name]["bias"]
+        if feat.shape[1] > size:
+            feat = interpolate_nearest(feat, size)
+        y = jnp.einsum("bhwc,co->bhwo", feat, w) + b
+        if y.shape[1] < size:
+            y = interpolate_nearest(y, size)
+        maps.append(y)
+    cat = jnp.concatenate(maps, axis=-1)
+    w_last = p["attention_last"]["weight"][0, 0] * (
+        1.0 / math.sqrt(32 * layers))
+    unfused = (jnp.einsum("bhwc,co->bhwo", cat, w_last)
+               + p["attention_last"]["bias"])
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               rtol=0, atol=2e-4)
+
+
 def test_feat_lin_style_variant():
     tables = attention_tables(1024)
     fm = _feat_taps(tables)

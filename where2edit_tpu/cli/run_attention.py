@@ -161,9 +161,15 @@ def main(argv=None):
     if args.dp or args.sp:
         from where2edit_tpu.parallel.mesh import make_mesh  # noqa: PLC0415
 
+        n_dev = len(jax.devices())
         n_sp = max(args.sp, 1)
-        avail = len(jax.devices()) // n_sp
-        n_dp = avail if args.dp == -1 else max(args.dp, 1)
+        if n_sp > n_dev:
+            raise SystemExit(f"--sp {n_sp} exceeds the {n_dev} available "
+                             "devices")
+        n_dp = n_dev // n_sp if args.dp == -1 else max(args.dp, 1)
+        if n_dp * n_sp > n_dev:
+            raise SystemExit(f"--dp {n_dp} x --sp {n_sp} = {n_dp * n_sp} "
+                             f"devices, but only {n_dev} are available")
         if args.batch_size % n_dp:
             raise SystemExit(f"--batch_size {args.batch_size} not divisible "
                              f"by --dp {n_dp}")

@@ -140,25 +140,21 @@ class EditSession:
             static_argnums=(2, 4))  # generator branches on truncation < 1
         def _capture(g_vars, w):
             from where2edit_tpu.editing.attention_mappers import (  # noqa: PLC0415
-                attention_tables,
+                tap_controls,
             )
 
             # the generator emits mapper-ready taps directly: taps above the
             # blend resolution are nearest-subsampled AT THE SOURCE (exact —
             # the mapper's attention convs are pointwise; s2d octaves slice
             # in s2d space, skipping every depth_to_space relayout) and taps
-            # nothing reads are never materialized. The blend-read taps
-            # (blend_tap_indices) sit exactly at the blend resolution, so
-            # one list serves both the generator blend and the mapper. The
-            # cluster tap stays native-res (assignment reads it directly).
+            # nothing reads are never materialized. The blend-read taps sit
+            # exactly at the blend resolution, so one list serves both the
+            # generator blend and the mapper; the cluster tap stays
+            # native-res. tap_controls is the single source of truth.
             cluster_layer = getattr(self.mapper, "cluster_layer",
                                     attention_layer)
-            blend = max(4 * 2 ** (attention_layer // 3),
-                        4 * 2 ** (cluster_layer // 3))
-            keep = sorted(
-                set(attention_tables(self.generator.size)["layer_num"])
-                | set(blend_tap_indices(attention_layer))
-                | {cluster_layer - 1})
+            blend, keep = tap_controls(self.generator.size, attention_layer,
+                                       cluster_layer)
             return self.generator.apply(
                 g_vars, [w], input_is_latent=True,
                 randomize_noise=False, return_features=True,

@@ -39,9 +39,7 @@ def load_session(args):
     # serving policy (PERF.md): bf16 synthesis + bf16 rgb chain + s2d final
     # octave on TPU; fp32 on CPU (s2d's fused 6x6 path is TPU-gated and the
     # visual-parity tests pin fp32 numerics there). --fp32 forces full fp32.
-    import jax as _jax  # noqa: PLC0415
-
-    serve_bf16 = (_jax.default_backend() == "tpu"
+    serve_bf16 = (jax.default_backend() == "tpu"
                   and not getattr(args, "fp32", False))
     gen, gvars, _ = build_generator(
         args.stylegan_size, args.ckpt,

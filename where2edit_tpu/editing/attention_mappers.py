@@ -97,6 +97,34 @@ def attention_tables(size: int, channel_multiplier: int = 2):
     }
 
 
+def tap_controls(size: int, attention_layer: int,
+                 cluster_layer: Optional[int] = None,
+                 channel_multiplier: int = 2):
+    """Static capture controls ``(tap_subsample, tap_indices)`` for any
+    synthesis pass whose taps feed this mapper family: keep the non-to_rgb
+    mapper taps, the masked-blend taps, and (when given) the
+    cluster-assignment tap; emit them at the larger of the blend / cluster
+    resolutions. Exact for every consumer — the attention convs are
+    pointwise (conv∘subsample ≡ subsample∘conv), the blend taps sit at
+    blend resolution, and the cluster tap stays native-res because the
+    cluster resolution bounds the subsample.
+
+    Single source of truth for EditSession._capture, the trainer's no-grad
+    syntheses, and bench.py (these had drifted: the bench copy omitted the
+    cluster tap and only worked because it pins cluster_layer ==
+    attention_layer).
+    """
+    from where2edit_tpu.models.stylegan2 import blend_tap_indices  # noqa: PLC0415
+
+    keep = set(attention_tables(size, channel_multiplier)["layer_num"])
+    keep |= set(blend_tap_indices(attention_layer))
+    sub = 4 * 2 ** (attention_layer // 3)  # res of tap attention_layer-1
+    if cluster_layer is not None:
+        keep.add(cluster_layer - 1)
+        sub = max(sub, 4 * 2 ** (cluster_layer // 3))
+    return sub, tuple(sorted(keep))
+
+
 def wplus_dim_table(channel_multiplier: int = 2) -> list[int]:
     """run_attention.py:377 — channels of feature_map[LAYER_NUM[c]] (1024px)."""
     cm = channel_multiplier

@@ -40,7 +40,13 @@ def shard_generator_params(mesh: Mesh, variables, axis: str = "model",
     n = mesh.shape[axis]
 
     def place(x):
-        if (getattr(x, "ndim", 0) == 4 and x.shape[-1] >= min_channels
+        # conv kernels are (k, k, cin, cout) with square spatial taps; the
+        # square check excludes look-alike 4-D params such as the (1,4,4,C)
+        # ConstantInput buffer, which must stay replicated (sharding a 4x4
+        # stem constant only inserts a pointless reshard at the first conv)
+        is_kernel = (getattr(x, "ndim", 0) == 4
+                     and x.shape[0] == x.shape[1] and x.shape[0] <= 7)
+        if (is_kernel and x.shape[-1] >= min_channels
                 and x.shape[-1] % n == 0):
             return jax.device_put(
                 x, NamedSharding(mesh, P(None, None, None, axis)))

@@ -164,26 +164,16 @@ class AttentionTrainer:
         return jnp.repeat(w[:, None, :], g.n_latent, axis=1)
 
     def _tap_controls(self):
-        """Static capture controls for the no-grad syntheses: the mapper
-        family reads only the non-to_rgb taps (pre-subsampling to the blend
-        resolution is exact — the attention convs are pointwise) and the
-        blend reads ``blend_tap_indices``; nothing else in the step touches
-        the other taps. Materializing all 26 full-res fp32 taps (x2 in the
-        lax.map) is what made batch-8/chip fp32 training OOM (PERF.md)."""
-        from where2edit_tpu.editing.attention_mappers import attention_tables  # noqa: PLC0415
-        from where2edit_tpu.models.stylegan2 import blend_tap_indices  # noqa: PLC0415
+        """Static capture controls for the no-grad syntheses: the step reads
+        only the mapper/blend/cluster taps (editing.attention_mappers.
+        tap_controls is the single source of truth). Materializing all 26
+        full-res fp32 taps (x2 in the lax.map) is what made batch-8/chip
+        fp32 training OOM (PERF.md)."""
+        from where2edit_tpu.editing.attention_mappers import tap_controls  # noqa: PLC0415
 
         cfg = self.cfg
-        keep = sorted(set(attention_tables(cfg.stylegan_size)["layer_num"])
-                      | set(blend_tap_indices(cfg.attention_layer))
-                      | {cfg.cluster_layer - 1})
-        # subsample only down to the larger of the blend / cluster-tap
-        # resolutions: the cluster assignment reads its tap at native res,
-        # and two exact nearest strides compose exactly, so the mapper's
-        # internal subsample to blend size is unchanged
-        blend = 4 * 2 ** (cfg.attention_layer // 3)  # res of tap L-1
-        cluster_res = 4 * 2 ** (cfg.cluster_layer // 3)
-        return max(blend, cluster_res), tuple(keep)
+        return tap_controls(cfg.stylegan_size, cfg.attention_layer,
+                            cfg.cluster_layer)
 
     def _synthesize_wplus(self, gen_vars, wplus):
         """W+ → (img, wplus, styles, features+const). Taps the step never

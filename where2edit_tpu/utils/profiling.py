@@ -38,7 +38,10 @@ def sync_fetch(res):
     leaves = jax.tree_util.tree_leaves(res)
     for leaf in ({id(leaves[0]): leaves[0], id(leaves[-1]): leaves[-1]}.values()
                  if leaves else ()):
-        jax.device_get(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+        # index the first element directly — ravel() would dispatch a full
+        # on-device copy of the leaf inside the timed region
+        jax.device_get(leaf[(0,) * leaf.ndim]
+                       if getattr(leaf, "ndim", 0) else leaf)
     return res
 
 
