@@ -39,6 +39,7 @@ SLOW_TESTS = {
     "test_dp_sharded_step_runs_on_8_devices",
     "test_dp_step_equals_single_device_global_batch",
     "test_run_clustering_cli",
+    "test_run_clustering_cli_dp",
     "test_ssim_vs_reference_256",
     "test_edit_session_and_one_text_edit",
     "test_run_attention_cli_dp_mesh",

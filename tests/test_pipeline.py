@@ -28,6 +28,24 @@ def test_run_clustering_cli(tmp_path):
     assert centers.shape[0] == 4
 
 
+def test_run_clustering_cli_dp(tmp_path):
+    """--dp N shards the feature-collection batch over a data mesh (the
+    reference's DDP phase-1); the gathered matrix and artifacts are the
+    same shape as the single-device run."""
+    import pickle
+
+    from where2edit_tpu.cli.run_clustering import main
+
+    out = main(["--stylegan_size", str(SIZE), "--ckpt", "/nonexistent",
+                "--attention_layer", "7", "--cluster_num", "4",
+                "--batch_size", "8", "--step", "1", "--dp", "8",
+                "--results_dir", str(tmp_path)])
+    assert os.path.isfile(out)
+    with open(out, "rb") as f:
+        centers = pickle.load(f)
+    assert centers.shape[0] == 4
+
+
 def test_edit_session_and_one_text_edit():
     from where2edit_tpu.demo.api import EditSession
     from where2edit_tpu.editing.attention_mappers import (

@@ -38,9 +38,29 @@ def main(argv=None):
     p.add_argument("--truncation", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=200)
     p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard the feature-collection batch over an "
+                        "N-device 'data' mesh (the reference's DDP phase-1, "
+                        "clustering_feature.py:237-265; features are "
+                        "gathered to the host for k-means exactly as the "
+                        "reference gathers to rank 0). -1 = all devices.")
     args = p.parse_args(argv)
 
     key = set_random_seed(args.seed)
+    sharding = None
+    if args.dp:
+        from where2edit_tpu.parallel.mesh import data_sharding, make_mesh  # noqa: PLC0415
+
+        n_dp = len(jax.devices()) if args.dp == -1 else args.dp
+        if n_dp > len(jax.devices()):
+            raise SystemExit(f"--dp {n_dp} exceeds the "
+                             f"{len(jax.devices())} available devices")
+        if args.batch_size % n_dp:
+            raise SystemExit(f"--batch_size {args.batch_size} not divisible "
+                             f"by --dp {n_dp}")
+        mesh = make_mesh(data=n_dp)
+        sharding = data_sharding(mesh, 2)
+        print(f"[dp] {n_dp}-device data mesh: {mesh}")
     gen, gvars, _ = build_generator(args.stylegan_size, args.ckpt,
                                     args.channel_multiplier)
     key, k = jax.random.split(key)
@@ -60,6 +80,8 @@ def main(argv=None):
     for _ in range(args.step):
         key, k = jax.random.split(key)
         z = jax.random.normal(k, (args.batch_size, 512))
+        if sharding is not None:
+            z = jax.device_put(z, sharding)
         cf, _ = collect(z)
         feats.append(np.asarray(cf))
     data = np.concatenate(feats, axis=0)
