@@ -59,10 +59,10 @@ from where2edit_tpu.models.vgg import Vgg16  # noqa: E402
 # CPU with W2E_BENCH_ATT_LAYER=4) without touching the shipping config
 SIZE = int(os.environ.get("W2E_BENCH_SIZE", "1024"))
 # serving batch: throughput saturates ~batch 16-32 (batch 8 = 290 synth
-# imgs/s, 16 = 325, 32 = 353 — strong fixed-overhead amortization, PERF.md);
-# 16 keeps every pipeline stage comfortably in HBM (32 OOMs the one-time
-# full-tap capture used for mapper init)
-BATCH = int(os.environ.get("W2E_BENCH_BATCH", "16"))
+# imgs/s, 16 = 325, 32 = 355 — strong fixed-overhead amortization, PERF.md).
+# 32 fits every stage since the one-time full-tap mapper-init capture moved
+# to batch 1 (measured on-chip: 127.9 e2e edits/s at b32 vs 115.9 at b16)
+BATCH = int(os.environ.get("W2E_BENCH_BATCH", "32"))
 ATT_LAYER = int(os.environ.get("W2E_BENCH_ATT_LAYER", "13"))
 BASELINE_PER_CHIP = 50.0 / 8.0
 
@@ -171,12 +171,11 @@ def main():
             return acc + jnp.mean(img)
         return jax.lax.fori_loop(0, N, body, 0.0)
 
-    if not only_train:
-        log("config 2: synthesis-only …")
-        zs = jax.random.normal(jax.random.PRNGKey(1), (N, BATCH, 512))
-        dt = timeit(synth_loop, gvars, zs) / N
-        results["synthesis_only_imgs_per_sec_per_chip"] = round(BATCH / dt, 2)
-        log(f"  {results['synthesis_only_imgs_per_sec_per_chip']} imgs/s")
+    log("config 2: synthesis-only …")
+    zs = jax.random.normal(jax.random.PRNGKey(1), (N, BATCH, 512))
+    dt = timeit(synth_loop, gvars, zs) / N
+    results["synthesis_only_imgs_per_sec_per_chip"] = round(BATCH / dt, 2)
+    log(f"  {results['synthesis_only_imgs_per_sec_per_chip']} imgs/s")
 
     # ---------------- models for the edit paths ----------------
     @jax.jit
@@ -286,59 +285,58 @@ def main():
         return stage_args
 
     e2e_per_sec = 0.0
-    if not only_train:
-        log(f"config 1: staged e2e edit at batch {BATCH} …")
-        per_edit = {}
-        for name, (loop, largs) in build_stages(BATCH).items():
-            log(f"  stage {name} …")
-            per_edit[name] = timeit(loop, *largs) / N
-            log(f"    {per_edit[name] * 1e3 / BATCH:.2f} ms/edit")
-        e2e_per_sec = BATCH / sum(per_edit.values())
-        results["e2e_edits_per_sec_per_chip"] = round(e2e_per_sec, 2)
-        results[f"e2e_stage_ms_per_edit_batch{BATCH}"] = {
-            k: round(v * 1e3 / BATCH, 3) for k, v in per_edit.items()}
-        # config 4 = the steady-state session cost (capture once per face)
-        results["interactive_edits_per_sec_per_chip"] = round(
-            BATCH / per_edit["edit"], 2)
-        log(f"  e2e {e2e_per_sec:.2f} edits/s; interactive "
-            f"{results['interactive_edits_per_sec_per_chip']} edits/s")
+    log(f"config 1: staged e2e edit at batch {BATCH} …")
+    per_edit = {}
+    for name, (loop, largs) in build_stages(BATCH).items():
+        log(f"  stage {name} …")
+        per_edit[name] = timeit(loop, *largs) / N
+        log(f"    {per_edit[name] * 1e3 / BATCH:.2f} ms/edit")
+    e2e_per_sec = BATCH / sum(per_edit.values())
+    results["e2e_edits_per_sec_per_chip"] = round(e2e_per_sec, 2)
+    results[f"e2e_stage_ms_per_edit_batch{BATCH}"] = {
+        k: round(v * 1e3 / BATCH, 3) for k, v in per_edit.items()}
+    # config 4 = the steady-state session cost (capture once per face)
+    results["interactive_edits_per_sec_per_chip"] = round(
+        BATCH / per_edit["edit"], 2)
+    log(f"  e2e {e2e_per_sec:.2f} edits/s; interactive "
+        f"{results['interactive_edits_per_sec_per_chip']} edits/s")
 
-        log("config 1 at batch 1: p50 latency …")
-        per_edit1 = {}
-        for name, (loop, largs) in build_stages(1).items():
-            per_edit1[name] = timeit(loop, *largs) / N
-        results["e2e_p50_latency_ms_batch1"] = round(
-            sum(per_edit1.values()) * 1e3, 2)
-        log(f"  {results['e2e_p50_latency_ms_batch1']} ms")
+    log("config 1 at batch 1: p50 latency …")
+    per_edit1 = {}
+    for name, (loop, largs) in build_stages(1).items():
+        per_edit1[name] = timeit(loop, *largs) / N
+    results["e2e_p50_latency_ms_batch1"] = round(
+        sum(per_edit1.values()) * 1e3, 2)
+    log(f"  {results['e2e_p50_latency_ms_batch1']} ms")
 
-        # -------- config 3: StyleCLIP LevelsMapper inference --------
-        # The reference times run_on_batch = w + 0.1·mapper(w) → decode
-        # (mapper/scripts/inference.py:65-86, run_on_batch :90-98) over
-        # celeba-caption-trained coarse/medium/fine mappers. Same program
-        # here: LevelsMapper forward + 1024² decode per batch.
-        from where2edit_tpu.editing.latent_mappers import LevelsMapper  # noqa: PLC0415
+    # -------- config 3: StyleCLIP LevelsMapper inference --------
+    # The reference times run_on_batch = w + 0.1·mapper(w) → decode
+    # (mapper/scripts/inference.py:65-86, run_on_batch :90-98) over
+    # celeba-caption-trained coarse/medium/fine mappers. Same program
+    # here: LevelsMapper forward + 1024² decode per batch.
+    from where2edit_tpu.editing.latent_mappers import LevelsMapper  # noqa: PLC0415
 
-        log("config 3: StyleCLIP LevelsMapper inference …")
-        lmapper = LevelsMapper()
-        w0 = jax.random.normal(jax.random.PRNGKey(9),
-                               (BATCH, gen.n_latent, 512))
-        lm_vars = jax.jit(lambda w: lmapper.init({"params": key}, w))(w0)
+    log("config 3: StyleCLIP LevelsMapper inference …")
+    lmapper = LevelsMapper()
+    w0 = jax.random.normal(jax.random.PRNGKey(9),
+                           (BATCH, gen.n_latent, 512))
+    lm_vars = jax.jit(lambda w: lmapper.init({"params": key}, w))(w0)
 
-        def mapper_inf_body(i, gv, mv, ws):
-            w = ws[i]
-            w_hat = w + 0.1 * lmapper.apply(mv, w)
-            img = gen.apply(gv, [w_hat], input_is_latent=True,
-                            randomize_noise=False).image
-            return jnp.mean(img)
+    def mapper_inf_body(i, gv, mv, ws):
+        w = ws[i]
+        w_hat = w + 0.1 * lmapper.apply(mv, w)
+        img = gen.apply(gv, [w_hat], input_is_latent=True,
+                        randomize_noise=False).image
+        return jnp.mean(img)
 
-        mapper_inf_loop = stage_loop(mapper_inf_body)
-        ws = jax.random.normal(jax.random.PRNGKey(10),
-                               (N, BATCH, gen.n_latent, 512))
-        dt = timeit(mapper_inf_loop, gvars, lm_vars, ws) / N
-        results["styleclip_mapper_edits_per_sec_per_chip"] = round(
-            BATCH / dt, 2)
-        results[f"styleclip_mapper_ms_per_batch{BATCH}"] = round(dt * 1e3, 3)
-        log(f"  {results['styleclip_mapper_edits_per_sec_per_chip']} edits/s")
+    mapper_inf_loop = stage_loop(mapper_inf_body)
+    ws = jax.random.normal(jax.random.PRNGKey(10),
+                           (N, BATCH, gen.n_latent, 512))
+    dt = timeit(mapper_inf_loop, gvars, lm_vars, ws) / N
+    results["styleclip_mapper_edits_per_sec_per_chip"] = round(
+        BATCH / dt, 2)
+    results[f"styleclip_mapper_ms_per_batch{BATCH}"] = round(dt * 1e3, 3)
+    log(f"  {results['styleclip_mapper_edits_per_sec_per_chip']} edits/s")
 
     emit(results, e2e_per_sec)
 

@@ -142,10 +142,10 @@ def main(argv=None):
     if len(ds) == 0:
         raise SystemExit(f"no CelebAMask-HQ data under {args.img_path}")
 
-    # attention-map resolution of tap `attention_layer` (tap schedule:
-    # [4, 4, then 3 taps per octave] → 64 for layer 13 at 1024px, matching
-    # the reference's hard-coded 64² labels, utils.py:669-671)
-    map_size = 4 * 2 ** (args.attention_layer // 3)
+    # attention-map resolution of tap `attention_layer` (→ 64 for layer 13,
+    # matching the reference's hard-coded 64² labels, utils.py:669-671)
+    from where2edit_tpu.editing.attention_mappers import tap_resolution
+    map_size = tap_resolution(args.attention_layer)
 
     def invert(img_arr):
         w = psp.encode(jnp.asarray(img_arr[None]))

@@ -66,8 +66,10 @@ def main(argv=None):
     key, k = jax.random.split(key)
     mean_w = mean_latent(gen, gvars, k)
 
+    # gvars/mean_w as jit ARGUMENTS, not closed-over constants — constant
+    # trees compile ~100x slower on the remote-compile backend (PERF.md)
     @jax.jit
-    def collect(z):
+    def collect(gvars, mean_w, z):
         out = gen.apply(gvars, [z], truncation=args.truncation,
                         truncation_latent=mean_w, return_latents=True,
                         randomize_noise=False)
@@ -82,7 +84,7 @@ def main(argv=None):
         z = jax.random.normal(k, (args.batch_size, 512))
         if sharding is not None:
             z = jax.device_put(z, sharding)
-        cf, _ = collect(z)
+        cf, _ = collect(gvars, mean_w, z)
         feats.append(np.asarray(cf))
     data = np.concatenate(feats, axis=0)
     print(f"clustering matrix: {data.shape}")

@@ -118,11 +118,21 @@ def tap_controls(size: int, attention_layer: int,
 
     keep = set(attention_tables(size, channel_multiplier)["layer_num"])
     keep |= set(blend_tap_indices(attention_layer))
-    sub = 4 * 2 ** (attention_layer // 3)  # res of tap attention_layer-1
+    sub = tap_resolution(attention_layer)  # res of tap attention_layer-1
     if cluster_layer is not None:
         keep.add(cluster_layer - 1)
-        sub = max(sub, 4 * 2 ** (cluster_layer // 3))
+        sub = max(sub, tap_resolution(cluster_layer))
     return sub, tuple(sorted(keep))
+
+
+def tap_resolution(layer: int) -> int:
+    """Spatial resolution of feature tap ``layer - 1`` (1-based layer).
+
+    Tap schedule: [4, 4, then 3 taps per octave] → e.g. 64 for layer 13,
+    matching the reference's hard-coded 64² blend/label resolution
+    (run_attention.py:794, utils.py:669-671). Single source of truth for
+    tap_controls and the IoU evaluation harness."""
+    return 4 * 2 ** (layer // 3)
 
 
 def wplus_dim_table(channel_multiplier: int = 2) -> list[int]:
