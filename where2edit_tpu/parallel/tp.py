@@ -17,8 +17,15 @@ WARNING — do NOT combine with ``Generator(spatial_mesh=...)`` on the same
 mesh: XLA's SPMD partitioner hits its "involuntary full rematerialization"
 fallback on the channel+spatial resharding (its own warning cites tracked
 bug b/433785288, to be fixed by the Shardy partitioner) and, as measured
-on jax 0.9.0's CPU backend, produces WRONG VALUES (max abs error ~8 on a
-[-1,1] image). Pick one of SP or TP per program until Shardy lands.
+on jax 0.9.0's CPU backend, produces WRONG VALUES (max abs error ~5 on a
+[-1,1] image). Re-probed 2026-08-18: ``jax_use_shardy_partitioner`` is
+already True by default on jax 0.9.0 and the miscompile still reproduces
+(Shardy delegates this resharding to the legacy SPMD partitioner), and
+whether a given (size, mesh shape, spatial_min_rows_per_shard) triggers it
+is fragile — e.g. 64px on a ('sp','model')=(2,4) mesh at min_rows=2 is
+wrong while (4,2) at min_rows=4 is exact. Because the failure is silent,
+TP x SP on one mesh stays blanket-unsupported. Pick one of SP or TP per
+program until an XLA release fixes b/433785288.
 """
 
 from __future__ import annotations
