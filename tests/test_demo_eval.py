@@ -91,6 +91,47 @@ def test_evaluate_iou_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_streamlit_app_main(monkeypatch, tmp_path):
+    """demo/app.py main(): drive the full UI flow (Syn mode → Edit button)
+    with a stubbed streamlit module — covers the widget wiring, the
+    try_demo.py threshold mapping, and the 3-column image render."""
+    import sys
+    import types
+
+    rendered = []
+
+    class _Col:
+        def image(self, arr, caption=None):
+            rendered.append((caption, np.asarray(arr).shape))
+
+    st = types.ModuleType("streamlit")
+    st.cache_resource = lambda f: f
+    st.title = lambda *a, **k: None
+    st.text_input = lambda label, default="": "grey hair"
+    st.button = lambda label: True
+    st.file_uploader = lambda label: None
+    st.columns = lambda n: [_Col() for _ in range(n)]
+    sidebar = types.SimpleNamespace(
+        radio=lambda label, opts: "Syn",
+        number_input=lambda label, lo, hi, default: default,
+        selectbox=lambda label, opts, index=0: opts[index],
+        slider=lambda label, lo, hi, default: default,
+    )
+    st.sidebar = sidebar
+    monkeypatch.setitem(sys.modules, "streamlit", st)
+    monkeypatch.setattr(sys, "argv", [
+        "app.py", "--ckpt", "/nonexistent", "--stylegan_size", "32",
+        "--attention_layer", "4", "--cluster_layer", "4"])
+
+    from where2edit_tpu.demo import app
+
+    app.main()
+    captions = [c for c, _ in rendered]
+    assert captions == ["original", "edited", "attention"]
+    assert rendered[0][1] == (32, 32, 3)  # uint8 HWC after batch index
+
+
+@pytest.mark.slow
 def test_demo_server_roundtrip():
     """demo/server.py: start the stdlib HTTP server, GET the page, POST an
     edit, decode the three returned JPEGs."""
