@@ -86,3 +86,38 @@ def test_kmeans_and_assignment_roundtrip():
     centers2 = kmeans_fit(np.asarray(cf), 4, use_sklearn="never")
     assert centers2.shape == (4, 36)
     assert np.isfinite(centers2).all()
+
+
+def test_initialize_multihost_semantics(monkeypatch):
+    """No-op on single-host envs; joins when context is present; idempotent
+    once the distributed client exists (the NCCL-rendezvous replacement,
+    SURVEY.md §2.3 / reference run_attention.py:913-945)."""
+    from where2edit_tpu.parallel.mesh import initialize_multihost
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda coordinator_address=None, num_processes=None,
+        process_id=None, **kw: calls.append(
+            (coordinator_address, num_processes, process_id)))
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert initialize_multihost() is False          # bare single-host: no-op
+    assert calls == []
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    assert initialize_multihost(num_processes=2, process_id=1) is True
+    assert calls == [("10.0.0.1:1234", 2, 1)]       # env coordinator joined
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    assert initialize_multihost(force=True) is True  # auto-detect path
+    assert len(calls) == 2
+
+    class _State:  # already-initialized runtime → idempotent no call
+        client = object()
+
+    monkeypatch.setattr(jax.distributed, "global_state", _State(),
+                        raising=False)
+    assert initialize_multihost(force=True) is True
+    assert len(calls) == 2

@@ -102,6 +102,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "devices ('model' mesh axis; GSPMD halo-exchanged "
                         "convs — no reference analogue, SURVEY.md §2.3). "
                         "Composes with --dp: total devices = dp x sp.")
+    p.add_argument("--multihost", action="store_true",
+                   help="join the multi-host JAX runtime before building "
+                        "the mesh (jax.distributed auto-detect; the TPU "
+                        "analogue of the reference's NCCL TCP rendezvous, "
+                        "run_attention.py:913-945). With --dp -1 the mesh "
+                        "then spans every chip in the job.")
     p.add_argument("--truncation", type=float, default=0.7)
     p.add_argument("--work_in_stylespace", action="store_true")
     p.add_argument("--save_intermediate_image_every", type=int, default=20)
@@ -139,6 +145,13 @@ def load_clip(clip_ckpt: str | None):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.multihost:
+        from where2edit_tpu.parallel.mesh import initialize_multihost  # noqa: PLC0415
+
+        if initialize_multihost(force=True):
+            print(f"[multihost] process {jax.process_index()}/"
+                  f"{jax.process_count()}: {len(jax.devices())} global "
+                  f"devices")
     key = set_random_seed(args.seed)
     rng = random.Random(args.seed)
 

@@ -8,6 +8,7 @@ shard_map contexts and for parity tests of the gather/broadcast semantics.
 """
 
 from where2edit_tpu.parallel.mesh import (
+    initialize_multihost,
     make_mesh,
     data_sharding,
     replicated,
@@ -20,6 +21,7 @@ from where2edit_tpu.parallel.collectives import (
 from where2edit_tpu.parallel.tp import shard_generator_params
 
 __all__ = [
+    "initialize_multihost",
     "make_mesh",
     "data_sharding",
     "replicated",
