@@ -43,6 +43,21 @@ def test_evaluate_edits_cli(tmp_path):
     assert 0.0 <= result["clip_improvement"] <= 1.0
     assert np.isfinite(result["fid_features"])
 
+    # --dp shards each eval batch over the 8-device virtual mesh (the
+    # reference's distributed eval, utils.py:529-533) — same keys/prompts
+    # must reproduce the single-device metrics
+    result_dp = cli.main([
+        "edits", "--ckpt", "/nonexistent", "--stylegan_size", "32",
+        "--attention_layer", "4", "--cluster_layer", "4",
+        "--iterations", "2", "--batch", "2", "--dp", "2",
+        "--description_dir", str(tmp_path / "missing"),
+    ])
+    assert result_dp["n"] == result["n"]
+    np.testing.assert_allclose(result_dp["clip_improvement"],
+                               result["clip_improvement"], atol=1e-6)
+    np.testing.assert_allclose(result_dp["fid_features"],
+                               result["fid_features"], rtol=1e-4, atol=1e-4)
+
 
 @pytest.mark.slow
 def test_evaluate_iou_cli(tmp_path):

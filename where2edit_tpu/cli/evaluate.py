@@ -48,6 +48,11 @@ def build_argparser():
                         "otherwise serves bf16+s2d — demo/app.py "
                         "load_session; use this to reproduce the fp32 "
                         "parity-gate numbers)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="edits mode: shard each eval batch over an N-device "
+                        "data mesh (-1 = all devices) — the reference runs "
+                        "its eval distributed too (dist.reduce of counters, "
+                        "utils.py:529-533). --batch must divide evenly.")
     return p
 
 
@@ -102,10 +107,29 @@ def main(argv=None):
                                          align_corners=False)
                 return inc_apply(x)
 
+        sharding = None
+        if args.dp:
+            from where2edit_tpu.parallel.mesh import (  # noqa: PLC0415
+                data_sharding,
+                make_mesh,
+            )
+
+            n_dp = len(jax.devices()) if args.dp == -1 else args.dp
+            if n_dp > len(jax.devices()):
+                raise SystemExit(f"--dp {n_dp} exceeds the "
+                                 f"{len(jax.devices())} available devices")
+            if args.batch % n_dp:
+                raise SystemExit(f"--batch {args.batch} not divisible by "
+                                 f"--dp {n_dp}")
+            mesh = make_mesh(data=n_dp)
+            sharding = data_sharding(mesh, 3)  # W+ batch (B, L, 512)
+            print(f"[mesh] eval batches sharded over data={n_dp}")
+
         # reuse the session's jitted edit with raw CLIP features
         def edit_fn(key, text_feats):
             session.load_synthetic(key, truncation=args.truncation,
-                                   batch=text_feats.shape[0])
+                                   batch=text_feats.shape[0],
+                                   sharding=sharding)
             img, _, _ = session._edit(
                 text_features=text_feats, attention_text_features=text_feats,
                 latent=session.latent, feature_map=session.feature_map,

@@ -164,8 +164,13 @@ class EditSession:
 
     def load_synthetic(self, key, truncation: float = 0.7,
                        mean_latent: Optional[jnp.ndarray] = None,
-                       batch: int = 1):
-        """Seeded sample (try_demo 'Syn' mode)."""
+                       batch: int = 1, sharding=None):
+        """Seeded sample (try_demo 'Syn' mode).
+
+        ``sharding``: optional NamedSharding for the sampled W+ batch —
+        placing it batch-sharded over a data mesh makes GSPMD run the
+        capture (and every later edit on this session) data-parallel; the
+        reference's distributed eval analogue (utils.py:529-533)."""
         if mean_latent is None:
             if not hasattr(self, "_mean_latent"):
                 from where2edit_tpu.models.stylegan2 import Generator  # noqa: PLC0415
@@ -178,6 +183,8 @@ class EditSession:
             mean_latent = self._mean_latent
         wplus = self._sample_w(self.gen_vars, key, truncation, mean_latent,
                                batch)
+        if sharding is not None:
+            wplus = jax.device_put(wplus, sharding)
         return self._capture(wplus)
 
     def load_latent(self, wplus: jnp.ndarray):
