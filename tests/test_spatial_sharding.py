@@ -195,6 +195,57 @@ def test_edit_session_with_spatial_mesh():
     np.testing.assert_allclose(a_sp, a_ref, rtol=0, atol=1e-5)
 
 
+def test_edit_session_with_tensor_parallel_params():
+    """The serving session runs data-free with TP-sharded generator params
+    (variables are jit ARGUMENTS, so the channel sharding flows straight
+    into the cached edit/capture programs) and matches the replicated
+    session up to psum reduction order."""
+    from where2edit_tpu.demo.api import EditSession
+    from where2edit_tpu.editing.attention_mappers import (
+        FullSpaceMapperFEATClusterLinStyle,
+    )
+    from where2edit_tpu.parallel.tp import shard_generator_params
+
+    att = 4
+    mesh = _mesh((8,), ("model",))
+    gen = Generator(size=SIZE)
+    gvars = _init_vars(gen)
+    gvars_tp = shard_generator_params(mesh, gvars, min_channels=8)
+
+    mapper = FullSpaceMapperFEATClusterLinStyle(
+        layers=gen.n_latent, attention_layer=att, cluster_layer=att,
+        clusters=4, cluster_dim=512 + 64, generator_size=SIZE)
+    key = jax.random.PRNGKey(0)
+    out = jax.jit(lambda v, z: gen.apply(
+        v, [z], randomize_noise=False, return_features=True))(
+        gvars, jnp.ones((1, 512)))
+    feats = list(out.feature_map)
+    const = gvars["params"]["input"]["input"]
+    feats.append(jnp.broadcast_to(const, (1, *const.shape[1:])))
+    blend = feats[att - 1].shape[1]
+    mvars = dict(jax.jit(lambda t, s, f: mapper.init(
+        {"params": key}, t, s, f, blend, train=False,
+        deterministic_noise=True))(jnp.ones((1, 512)), out.style_vector,
+                                   feats))
+    mvars["clusters"] = {"initial_state":
+                         jax.random.normal(key, (4, 512 + 64))}
+
+    def run(variables):
+        sess = EditSession(generator=gen, gen_vars=variables, mapper=mapper,
+                           mapper_vars=mvars,
+                           clip_encode_text=lambda t: t.astype(jnp.float32),
+                           attention_layer=att)
+        orig = sess.load_synthetic(jax.random.PRNGKey(5))
+        img, amap = sess.edit(jnp.ones((1, 512)), strength_alpha=0.1)
+        return np.asarray(orig), np.asarray(img), np.asarray(amap)
+
+    o_ref, i_ref, a_ref = run(gvars)
+    o_tp, i_tp, a_tp = run(gvars_tp)
+    np.testing.assert_allclose(o_tp, o_ref, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(i_tp, i_ref, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(a_tp, a_ref, rtol=0, atol=1e-4)
+
+
 @pytest.mark.parametrize("s2d", [1])
 def test_spatial_sharding_composes_with_s2d(s2d):
     gen = Generator(size=SIZE, s2d_octaves=s2d)
