@@ -1,0 +1,40 @@
+"""Smoke coverage for the measurement tools (they rot otherwise).
+
+tools/pallas_bench.py and tools/bf16_sweep.py are TPU-measurement scripts
+kept as reproduction harnesses for PERF.md's retired experiments;
+profile_edit.py is the live profiler used for every round's perf work, so
+it gets a real drive here (tiny size, CPU trace).
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools")
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(TOOLS, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("what", ["mapper", "synth"])
+def test_profile_edit_smoke(monkeypatch, tmp_path, what, capsys):
+    """profile_edit --what {mapper,synth} at 64px: builds the models, traces
+    one rep, and the trace parser aggregates without crashing."""
+    mod = _load("profile_edit")
+    monkeypatch.setattr(sys, "argv", [
+        "profile_edit.py", "--what", what, "--size", "64",
+        "--att_layer", "4", "--batch", "1", "--s2d", "0", "--reps", "1",
+        "--out", str(tmp_path)])
+    mod.main()
+    printed = capsys.readouterr().out
+    assert f"[{what}] batch=1" in printed
+    assert "ms/step" in printed

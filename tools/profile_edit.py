@@ -102,6 +102,10 @@ def parse_trace(trace_dir: str, top: int = 40):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--size", type=int, default=1024,
+                   help="generator resolution (shrink for CPU smoke runs)")
+    p.add_argument("--att_layer", type=int, default=13,
+                   help="attention/cluster layer (4 pairs with --size 64)")
     p.add_argument("--what", choices=["edit", "synth", "mapper", "invert"],
                    default="edit")
     p.add_argument("--s2d", type=int, default=1)
@@ -142,7 +146,8 @@ def main():
         return
 
     gen, gvars, mapper, mvars, text, out, feats, att = build(
-        args.batch, s2d_octaves=args.s2d, fp32_head=args.fp32_head,
+        args.batch, size=args.size, att_layer=args.att_layer,
+        s2d_octaves=args.s2d, fp32_head=args.fp32_head,
         rgb_dtype=jnp.bfloat16 if args.rgb_bf16 else jnp.float32)
 
     # variable trees as jit ARGUMENTS (constants compile ~100x slower here)
