@@ -172,11 +172,12 @@ def main():
         return jax.lax.fori_loop(0, N, body, 0.0)
 
     # synthesis-only keeps saturating past the edit pipeline's HBM limit
-    # (measured: 392 imgs/s at b64 vs 355 at b32; the staged edit OOMs at
-    # b64 on its capture feature maps) — so config 2 gets its own batch
-    # with a fit ladder back down to the pipeline batch
-    synth_batch = int(os.environ.get("W2E_BENCH_SYNTH_BATCH", str(2 * BATCH)))
-    for b_try in sorted({synth_batch, BATCH}, reverse=True):
+    # (measured: 355 imgs/s at b32 → 392 at b64 → 479 at b128; b256 OOMs,
+    # and the staged edit OOMs already at b64 on its capture program) — so
+    # config 2 gets its own batch with a fit ladder down to the pipeline
+    # batch
+    synth_batch = int(os.environ.get("W2E_BENCH_SYNTH_BATCH", str(4 * BATCH)))
+    for b_try in sorted({synth_batch, 2 * BATCH, BATCH}, reverse=True):
         log(f"config 2: synthesis-only at batch {b_try} …")
         zs = jax.random.normal(jax.random.PRNGKey(1), (N, b_try, 512))
         try:
@@ -245,8 +246,6 @@ def main():
             jax.random.PRNGKey(8), (batch, gen.n_latent, 512))
         styles_b = [s[:1].repeat(batch, 0) if s.shape[0] != batch else s
                     for s in out.style_vector]
-        feats_b = [f[:1].repeat(batch, 0) if f.shape[0] != batch else f
-                   for f in feats]
         texts_b = jax.random.normal(jax.random.PRNGKey(5), (N, batch, 512))
 
         text_loop = stage_loop(lambda i, cv, tk: jnp.sum(clip_model.apply(
@@ -275,11 +274,18 @@ def main():
         capture_loop = stage_loop(capture_body)
 
         # same mapper-ready list EditSession serves (the library helper keeps
-        # the trailing const tap and Nones-out everything else not in keep)
+        # the trailing const tap and Nones-out everything else not in keep).
+        # Subsample at batch 1 FIRST, then broadcast: broadcasting the
+        # full-resolution 26-tap list to the serving batch is O(batch) HBM
+        # in tensors the edit stage never reads (it was the sole batch-64
+        # blocker — the staged programs themselves fit).
         from where2edit_tpu.demo.api import subsample_for_mapper  # noqa: PLC0415
 
-        feats_ready = jax.jit(
-            lambda fm: subsample_for_mapper(fm, blend, keep))(feats_b)
+        feats_ready1 = jax.jit(
+            lambda fm: subsample_for_mapper(fm, blend, keep))(feats)
+        feats_ready = [f[:1].repeat(batch, 0)
+                       if f is not None and f.shape[0] != batch else f
+                       for f in feats_ready1]
 
         def edit_body(i, gv, mv, texts, styles, fm, mfm):
             img, _, amap, _ = one_text_edit(
@@ -305,6 +311,12 @@ def main():
     log(f"config 1: staged e2e edit at batch {BATCH} …")
     per_edit = {}
     for name, (loop, largs) in build_stages(BATCH).items():
+        # unload the previous stage's executable first — each stage is its
+        # own program (strictly sequential in the reference flow), and the
+        # big-batch stages run within ~1 GB of HBM capacity; resident temp
+        # arenas from earlier stages are pure risk here
+        jax.clear_caches()
+        gc.collect()
         log(f"  stage {name} …")
         per_edit[name] = timeit(loop, *largs) / N
         log(f"    {per_edit[name] * 1e3 / BATCH:.2f} ms/edit")
