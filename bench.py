@@ -327,8 +327,37 @@ def main():
     # config 4 = the steady-state session cost (capture once per face)
     results["interactive_edits_per_sec_per_chip"] = round(
         BATCH / per_edit["edit"], 2)
+    results["interactive_batch"] = BATCH
     log(f"  e2e {e2e_per_sec:.2f} edits/s; interactive "
         f"{results['interactive_edits_per_sec_per_chip']} edits/s")
+
+    # the edit program is ~one synthesis pass + the mapper, so like plain
+    # synthesis it keeps saturating past the pipeline batch (the capture
+    # stage is what pins e2e to BATCH) — measure the steady-state session
+    # rate at its own batch with the same HBM-fit ladder
+    int_batch = int(os.environ.get("W2E_BENCH_INTERACTIVE_BATCH",
+                                   str(4 * BATCH)))
+    for b_try in sorted({int_batch, 2 * BATCH}, reverse=True):
+        if b_try <= BATCH:
+            break
+        jax.clear_caches()
+        gc.collect()
+        log(f"config 4: interactive edit at batch {b_try} …")
+        loop, largs = build_stages(b_try)["edit"]
+        try:
+            dt = timeit(loop, *largs) / N
+        except Exception as exc:  # noqa: BLE001 — HBM-fit ladder
+            log(f"  batch {b_try} FAILED ({type(exc).__name__}) — "
+                "stepping down")
+            continue
+        if b_try / dt > results["interactive_edits_per_sec_per_chip"]:
+            results["interactive_edits_per_sec_per_chip"] = round(
+                b_try / dt, 2)
+            results["interactive_batch"] = b_try
+        log(f"  {round(b_try / dt, 2)} edits/s at batch {b_try}")
+        break
+    jax.clear_caches()
+    gc.collect()
 
     log("config 1 at batch 1: p50 latency …")
     per_edit1 = {}
@@ -345,11 +374,9 @@ def main():
     # here: LevelsMapper forward + 1024² decode per batch.
     from where2edit_tpu.editing.latent_mappers import LevelsMapper  # noqa: PLC0415
 
-    log("config 3: StyleCLIP LevelsMapper inference …")
     lmapper = LevelsMapper()
-    w0 = jax.random.normal(jax.random.PRNGKey(9),
-                           (BATCH, gen.n_latent, 512))
-    lm_vars = jax.jit(lambda w: lmapper.init({"params": key}, w))(w0)
+    lm_vars = jax.jit(lambda w: lmapper.init({"params": key}, w))(
+        jax.random.normal(jax.random.PRNGKey(9), (1, gen.n_latent, 512)))
 
     def mapper_inf_body(i, gv, mv, ws):
         w = ws[i]
@@ -359,13 +386,26 @@ def main():
         return jnp.mean(img)
 
     mapper_inf_loop = stage_loop(mapper_inf_body)
-    ws = jax.random.normal(jax.random.PRNGKey(10),
-                           (N, BATCH, gen.n_latent, 512))
-    dt = timeit(mapper_inf_loop, gvars, lm_vars, ws) / N
-    results["styleclip_mapper_edits_per_sec_per_chip"] = round(
-        BATCH / dt, 2)
-    results[f"styleclip_mapper_ms_per_batch{BATCH}"] = round(dt * 1e3, 3)
-    log(f"  {results['styleclip_mapper_edits_per_sec_per_chip']} edits/s")
+    # mapper + plain decode — synthesis-shaped, so it gets the synthesis
+    # ladder, not the pipeline batch
+    lm_batch = int(os.environ.get("W2E_BENCH_LM_BATCH", str(4 * BATCH)))
+    for b_try in sorted({lm_batch, 2 * BATCH, BATCH}, reverse=True):
+        jax.clear_caches()
+        gc.collect()
+        log(f"config 3: StyleCLIP LevelsMapper inference at batch {b_try} …")
+        ws = jax.random.normal(jax.random.PRNGKey(10),
+                               (N, b_try, gen.n_latent, 512))
+        try:
+            dt = timeit(mapper_inf_loop, gvars, lm_vars, ws) / N
+        except Exception as exc:  # noqa: BLE001 — HBM-fit ladder
+            log(f"  batch {b_try} FAILED ({type(exc).__name__}) — "
+                "stepping down")
+            continue
+        results["styleclip_mapper_edits_per_sec_per_chip"] = round(
+            b_try / dt, 2)
+        results[f"styleclip_mapper_ms_per_batch{b_try}"] = round(dt * 1e3, 3)
+        log(f"  {results['styleclip_mapper_edits_per_sec_per_chip']} edits/s")
+        break
 
     emit(results, e2e_per_sec)
 

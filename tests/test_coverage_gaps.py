@@ -173,6 +173,46 @@ def test_mapper_train_cli_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_mapper_train_cli_checkpoint_warmstart(tmp_path):
+    """--checkpoint_path warm-starts the mapper from a previous run's
+    checkpoint (mapper/styleclip_mapper.py:38-42): a second run at lr=0
+    must end exactly at the loaded weights, not at the fresh init."""
+    from where2edit_tpu.cli import mapper_train as cli
+    from where2edit_tpu.train.checkpoints import load_checkpoint
+
+    base = ["--description", "purple hair",
+            "--stylegan_size", str(SIZE), "--stylegan_weights", "/nonexistent",
+            "--clip_lambda", "0", "--id_lambda", "0",
+            "--latent_l2_lambda", "0.8", "--max_steps", "1",
+            "--batch_size", "2", "--test_batch_size", "1",
+            "--train_dataset_size", "4", "--test_dataset_size", "2",
+            "--val_interval", "5", "--board_interval", "1",
+            "--image_interval", "1"]
+    exp1 = tmp_path / "exp1"
+    cli.main(base + ["--exp_dir", str(exp1), "--learning_rate", "0.5"])
+    src = exp1 / "checkpoints" / "iteration_1"
+    assert src.is_dir()
+    tree1, _ = load_checkpoint(str(src))
+
+    exp2 = tmp_path / "exp2"
+    cli.main(base + ["--exp_dir", str(exp2), "--learning_rate", "0",
+                     "--checkpoint_path", str(src)])
+    tree2, _ = load_checkpoint(str(exp2 / "checkpoints" / "iteration_1"))
+    jax.tree.map(np.testing.assert_array_equal,
+                 tree1["mapper"], tree2["mapper"])
+
+    # control: the same lr=0 run WITHOUT --checkpoint_path stays at the
+    # fresh init, which must differ from run 1's trained weights — i.e.
+    # the equality above is due to the warm start, not a no-op optimizer
+    exp3 = tmp_path / "exp3"
+    cli.main(base + ["--exp_dir", str(exp3), "--learning_rate", "0"])
+    tree3, _ = load_checkpoint(str(exp3 / "checkpoints" / "iteration_1"))
+    assert any(not np.array_equal(a, b) for a, b in
+               zip(jax.tree.leaves(tree1["mapper"]),
+                   jax.tree.leaves(tree3["mapper"])))
+
+
+@pytest.mark.slow
 def test_mapper_train_cli_use_mesh(tmp_path):
     """--use_mesh shards the coach batch over all (virtual) devices — the
     reference's multi-GPU DDP analogue reachable from the CLI."""

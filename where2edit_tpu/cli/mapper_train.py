@@ -50,7 +50,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--train_dataset_size", type=int, default=5000)
     p.add_argument("--test_dataset_size", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=2)
-    p.add_argument("--test_batch_size", type=int, default=2)
+    p.add_argument("--test_batch_size", type=int, default=1)
+    p.add_argument("--checkpoint_path", type=str, default=None,
+                   help="warm-start the mapper from a previous training "
+                        "checkpoint: a native coach checkpoint dir, or a "
+                        "torch StyleCLIP checkpoint "
+                        "(mapper/styleclip_mapper.py:38-42)")
     p.add_argument("--learning_rate", type=float, default=0.5)
     p.add_argument("--optim_name", type=str, default="ranger")
     p.add_argument("--id_lambda", type=float, default=0.1)
@@ -72,6 +77,44 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="shard the batch over a data mesh spanning all "
                         "devices (the reference's multi-GPU DDP analogue)")
     return p
+
+
+def load_warmstart_mapper_params(args) -> dict:
+    """Mapper weights for ``--checkpoint_path`` warm-start.
+
+    The reference loads ``get_keys(ckpt, 'mapper')`` into the fresh mapper
+    before training when ``checkpoint_path`` is set
+    (mapper/styleclip_mapper.py:38-42). Accepts a native coach checkpoint
+    dir (train/checkpoints.py layout) or a torch StyleCLIP training
+    checkpoint; torch conversion covers the two mapper types the
+    reference's StyleCLIPMapper accepts (SingleMapper/LevelsMapper,
+    styleclip_mapper.py:27-35).
+    """
+    path = args.checkpoint_path
+    if os.path.isdir(path):
+        from where2edit_tpu.train.checkpoints import load_checkpoint  # noqa: PLC0415
+
+        tree, _ = load_checkpoint(path)
+        return tree["mapper"] if "mapper" in tree else tree
+    from where2edit_tpu.cli.common import load_torch_state  # noqa: PLC0415
+    from where2edit_tpu.models.psp import get_keys  # noqa: PLC0415
+
+    ckpt = load_torch_state(path)
+    sd = get_keys(ckpt, "mapper") if "state_dict" in ckpt else ckpt
+    if args.mapper_type == "LevelsMapper":
+        from where2edit_tpu.convert.mappers import convert_levels_mapper  # noqa: PLC0415
+
+        return convert_levels_mapper(sd, no_coarse=args.no_coarse_mapper,
+                                     no_medium=args.no_medium_mapper,
+                                     no_fine=args.no_fine_mapper)
+    if args.mapper_type == "SingleMapper":
+        from where2edit_tpu.convert.mappers import convert_single_mapper  # noqa: PLC0415
+
+        return convert_single_mapper(sd)
+    raise ValueError(
+        f"torch warm-start is only defined for SingleMapper/LevelsMapper "
+        f"(the reference's StyleCLIPMapper accepts no other type); convert "
+        f"{args.mapper_type} to a native checkpoint first")
 
 
 def main(argv=None):
@@ -148,8 +191,14 @@ def main(argv=None):
 
         test_latents = np.asarray(load_torch_state(args.latents_test_path))
 
+    mapper_variables = None
+    if args.checkpoint_path:
+        print(f"Loading from checkpoint: {args.checkpoint_path}")
+        mapper_variables = {"params": jax.tree.map(
+            jnp.asarray, load_warmstart_mapper_params(args))}
+
     coach = Coach(cfg, generator=gen, generator_variables=gvars,
-                  mapper=mapper,
+                  mapper=mapper, mapper_variables=mapper_variables,
                   clip_loss_fn=clip_loss_fn, id_loss_fn=id_loss_fn,
                   latent_avg=latent_avg, text_tokens=tokens,
                   train_latents=train_latents, test_latents=test_latents)

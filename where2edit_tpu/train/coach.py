@@ -41,7 +41,7 @@ class CoachConfig:
     mapper_type: str = "LevelsMapper"
     work_in_stylespace: bool = False
     batch_size: int = 2
-    test_batch_size: int = 2
+    test_batch_size: int = 1
     train_dataset_size: int = 5000
     test_dataset_size: int = 1000
     learning_rate: float = 0.5
