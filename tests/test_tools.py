@@ -38,3 +38,19 @@ def test_profile_edit_smoke(monkeypatch, tmp_path, what, capsys):
     printed = capsys.readouterr().out
     assert f"[{what}] batch=1" in printed
     assert "ms/step" in printed
+
+
+@pytest.mark.slow
+def test_profile_edit_train_smoke(monkeypatch, tmp_path, capsys):
+    """profile_edit --what train at 64px: builds the full training step
+    (2 capture syntheses + grad-pass masked synthesis + CLIP + VGG +
+    backward), runs it twice, traces one rep, and parses the trace."""
+    mod = _load("profile_edit")
+    monkeypatch.setattr(sys, "argv", [
+        "profile_edit.py", "--what", "train", "--size", "64",
+        "--att_layer", "4", "--batch", "2", "--remat", "--reps", "1",
+        "--out", str(tmp_path)])
+    mod.main()
+    printed = capsys.readouterr().out
+    assert "[train] batch=2 remat=True" in printed
+    assert "samples/s" in printed

@@ -106,8 +106,13 @@ def main():
                    help="generator resolution (shrink for CPU smoke runs)")
     p.add_argument("--att_layer", type=int, default=13,
                    help="attention/cluster layer (4 pairs with --size 64)")
-    p.add_argument("--what", choices=["edit", "synth", "mapper", "invert"],
+    p.add_argument("--what",
+                   choices=["edit", "synth", "mapper", "invert", "train"],
                    default="edit")
+    p.add_argument("--remat", action="store_true",
+                   help="train mode: rematerialize the grad-pass synthesis")
+    p.add_argument("--bf16", action="store_true",
+                   help="train mode: bf16 synthesis activations")
     p.add_argument("--s2d", type=int, default=1)
     p.add_argument("--fp32_head", type=int, default=0)
     p.add_argument("--rgb_bf16", action="store_true")
@@ -117,6 +122,88 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/w2e_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.what == "train":
+        # the attention training step (bench config 5): 2 no-grad capture
+        # syntheses + grad-pass masked synthesis + CLIP + VGG + backward
+        # through the frozen generator (run_attention.py:1070-1424)
+        from where2edit_tpu.losses.clip_loss import CLIPLoss  # noqa: PLC0415
+        from where2edit_tpu.losses.perceptual import PerceptualLoss  # noqa: PLC0415
+        from where2edit_tpu.models.clip_model import CLIP  # noqa: PLC0415
+        from where2edit_tpu.models.vgg import Vgg16  # noqa: PLC0415
+        from where2edit_tpu.train.attention_trainer import (  # noqa: PLC0415
+            AttentionTrainConfig,
+            AttentionTrainer,
+        )
+        from where2edit_tpu.utils.profiling import sync_fetch  # noqa: PLC0415
+
+        key = jax.random.PRNGKey(0)
+        gen = Generator(size=args.size,
+                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        gvars = jax.jit(lambda: gen.init({"params": key, "noise": key},
+                                         [jnp.zeros((1, 512))]))()
+        clip_model = CLIP()
+        clip_vars = jax.jit(lambda: clip_model.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 224, 224, 3)),
+            jnp.zeros((1, 77), jnp.int32)))()
+        clip_loss = CLIPLoss(clip_model, clip_vars, args.size)
+        vgg = Vgg16()
+        vgg_vars = jax.jit(lambda: vgg.init(
+            jax.random.PRNGKey(6), jnp.zeros((1, 224, 224, 3))))()
+        perceptual = PerceptualLoss(vgg, vgg_vars, args.size)
+
+        z1 = jax.random.normal(key, (1, 512))
+        cap = jax.jit(lambda gv, zz: gen.apply(
+            gv, [zz], randomize_noise=False, return_features=True))(gvars, z1)
+        fm = list(cap.feature_map)
+        const = gvars["params"]["input"]["input"]
+        fm.append(jnp.broadcast_to(const, (1, *const.shape[1:])))
+        mapper = FullSpaceMapperFEATClusterLinStyle(
+            layers=gen.n_latent, attention_layer=args.att_layer,
+            cluster_layer=args.att_layer, clusters=10,
+            generator_size=args.size)
+        t1 = jnp.zeros((1, 512))
+        mvars = dict(jax.jit(lambda t, s, f: mapper.init(
+            {"params": key}, t, s, f, fm[args.att_layer - 1].shape[1],
+            deterministic_noise=True))(t1, cap.style_vector, fm))
+        mvars["clusters"] = {"initial_state":
+                             jax.random.normal(key, (10, 576))}
+        bank = jax.random.normal(jax.random.PRNGKey(7), (7, 512))
+
+        cfg = AttentionTrainConfig(
+            stylegan_size=args.size, attention_layer=args.att_layer,
+            cluster_layer=args.att_layer, batch_size=args.batch, step=100,
+            work_in_stylespace=True, remat=args.remat)
+        trainer = AttentionTrainer(
+            cfg, generator=gen, gen_vars=gvars, mapper=mapper,
+            mapper_params=mvars["params"],
+            encode_image=lambda lv, img: clip_loss.apply_encode_image(
+                lv["clip"], img),
+            perceptual=lambda lv, a, b_: perceptual.apply(lv["vgg"], a, b_),
+            mean_latent=jnp.zeros((1, 512)),
+            mapper_extra_variables={"clusters": mvars["clusters"]},
+            loss_variables={"clip": clip_vars, "vgg": vgg_vars})
+
+        state = [trainer.mapper_params, trainer.opt_state]
+
+        def fn():
+            res = trainer.step_fn(state[0], state[1], jnp.asarray(1.0),
+                                  jax.random.PRNGKey(8), bank)
+            state[0], state[1] = res[0], res[1]
+            return res[2]["loss"]
+
+        sync_fetch(fn())  # compile
+        t0 = time.time()
+        sync_fetch(fn())
+        dt = time.time() - t0
+        print(f"[train] batch={args.batch} remat={args.remat} "
+              f"bf16={args.bf16}: {dt * 1e3:.2f} ms/step "
+              f"({args.batch / dt:.2f} samples/s, incl. dispatch)")
+        with jax.profiler.trace(args.out):
+            for _ in range(args.reps):
+                sync_fetch(fn())
+        parse_trace(args.out)
+        return
 
     if args.what == "invert":
         # the e2e invert stage: e4e forward over 256² faces → W+
