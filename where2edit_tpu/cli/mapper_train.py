@@ -73,6 +73,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--val_interval", type=int, default=2000)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 synthesis during training (losses stay fp32)")
+    p.add_argument("--s2d_octaves", type=int, default=1,
+                   help="run the final N decoder octaves space-to-depth "
+                        "(exact layout transformation, tests/test_s2d.py; "
+                        "fills the MXU tiles the 32-channel full-res convs "
+                        "waste — measured +40%% training samples/s at 1024 "
+                        "on the attention trainer, PERF.md). 0 disables.")
     p.add_argument("--use_mesh", action="store_true",
                    help="shard the batch over a data mesh spanning all "
                         "devices (the reference's multi-GPU DDP analogue)")
@@ -127,7 +133,8 @@ def main(argv=None):
 
     gen, gvars, latent_avg = build_generator(
         args.stylegan_size, args.stylegan_weights,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        s2d_octaves=args.s2d_octaves)
     key = jax.random.PRNGKey(0)
     if latent_avg is None:
         latent_avg = mean_latent(gen, gvars, key)

@@ -124,6 +124,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "time at 8x the per-chip batch (fp32 batch>4/chip "
                         "does not fit without it; measured 4.7 -> 18.3 "
                         "samples/s/chip at batch 8, PERF.md)")
+    p.add_argument("--s2d_octaves", type=int, default=1,
+                   help="run the final N generator octaves space-to-depth "
+                        "(exact weight/layout transformation, "
+                        "tests/test_s2d.py) — the full-res 32-channel convs "
+                        "run as half-res 128-channel and fill the MXU "
+                        "tiles; measured +40%% training samples/s at 1024 "
+                        "(PERF.md). 0 disables.")
     return p
 
 
@@ -192,6 +199,7 @@ def main(argv=None):
     gen, gvars, _ = build_generator(
         args.stylegan_size, args.ckpt, args.channel_multiplier,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        s2d_octaves=args.s2d_octaves,
         spatial_mesh=mesh if args.sp else None, spatial_axis="model")
     key, k = jax.random.split(key)
     mean_w = mean_latent(gen, gvars, k)
