@@ -41,6 +41,19 @@ def test_profile_edit_smoke(monkeypatch, tmp_path, what, capsys):
 
 
 @pytest.mark.slow
+def test_conv3x3_bench_check(monkeypatch, capsys):
+    """conv3x3_bench --check: the fused pallas conv+epilogue kernel matches
+    XLA conv + separate epilogue in interpret mode (gates the measurement
+    harness behind PERF.md's epilogue-fusion experiment)."""
+    mod = _load("conv3x3_bench")
+    monkeypatch.setattr(sys, "argv",
+                        ["conv3x3_bench.py", "--check", "--check_size", "16"])
+    mod.main()
+    printed = capsys.readouterr().out
+    assert "correctness max" in printed
+
+
+@pytest.mark.slow
 def test_profile_edit_train_smoke(monkeypatch, tmp_path, capsys):
     """profile_edit --what train at 64px: builds the full training step
     (2 capture syntheses + grad-pass masked synthesis + CLIP + VGG +
