@@ -34,6 +34,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) or ".")
 
+# W2E_BENCH_PLATFORM=cpu forces the CPU backend for smoke runs. The env
+# site config pins the platform through the jax config API, which outranks
+# the JAX_PLATFORMS env var — so the override must use the config API too
+# (tests/test_bench_smoke.py relies on this to stay green during tunnel
+# outages).
+if os.environ.get("W2E_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["W2E_BENCH_PLATFORM"])
+
 # persistent compile cache: the six jitted programs here take minutes to
 # build cold over the dev tunnel; cached reruns start timing immediately
 jax.config.update("jax_compilation_cache_dir",

@@ -25,7 +25,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_bench_smoke_cpu_64px(tmp_path):
     env = dict(
         os.environ,
+        # JAX_PLATFORMS env alone cannot override the site-pinned platform;
+        # W2E_BENCH_PLATFORM routes through the jax config API in bench.py
         JAX_PLATFORMS="cpu",
+        W2E_BENCH_PLATFORM="cpu",
         W2E_BENCH_SIZE="64",
         W2E_BENCH_ATT_LAYER="4",
         W2E_BENCH_BATCH="2",
