@@ -45,22 +45,39 @@ SQRT2 = 1.4142135623730951
 # pallas fused conv3x3 + bias + leaky-relu
 # ---------------------------------------------------------------------------
 
-def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, th, w_cols, cin):
+def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sems, *, th, w_cols, cin):
     """x_hbm: (B, H+2, Wp, C) padded input, stays in HBM/ANY.
     w_ref: (9, C, Cout) tap-major weights. b_ref: (1, Cout) bias.
-    out_ref: (1, TH, W, Cout) block. x_vmem: (TH+2, Wp, C) scratch."""
+    out_ref: (1, TH, W, Cout) block. x_vmem: (2, TH+2, Wp, C) scratch —
+    double-buffered: each grid step waits on its own halo'd row DMA and
+    prefetches the NEXT step's rows so the fetch overlaps the 9 tap dots
+    (the TPU grid executes sequentially, last dimension fastest)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    step = b * ni + i
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
 
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * th, th + 2)], x_vmem, sem)
-    cp.start()
-    cp.wait()
+    def dma(bb, ii, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * th, th + 2)], x_vmem.at[s], sems.at[s])
+
+    @pl.when(step == 0)
+    def _():
+        dma(b, i, slot).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * ni)
+    def _():
+        nstep = step + 1
+        dma(nstep // ni, jax.lax.rem(nstep, ni), nslot).start()
+
+    dma(b, i, slot).wait()
 
     acc = jnp.zeros((th, w_cols, w_ref.shape[2]), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            xt = x_vmem[pl.ds(ky, th), pl.ds(kx, w_cols), :]
+            xt = x_vmem[slot, pl.ds(ky, th), pl.ds(kx, w_cols), :]
             acc = acc + jax.lax.dot_general(
                 xt, w_ref[ky * 3 + kx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
@@ -93,8 +110,8 @@ def conv3x3_fused(x, w, bias, *, th: int = 16):
         out_specs=pl.BlockSpec((1, th, wd, cout),
                                lambda b, i: (b, i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, wp, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2, wp, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wd * c * cout * 9,
