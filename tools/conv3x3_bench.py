@@ -133,6 +133,104 @@ def conv3x3_xla(x, w, bias):
 
 
 # ---------------------------------------------------------------------------
+# modulated variant — the actual StyledConv wiring candidate
+# ---------------------------------------------------------------------------
+
+def _kernel_mod(x_hbm, w_ref, b_ref, s_ref, d_ref, out_ref, x_vmem, sems,
+                *, th, w_cols, cin):
+    """Same kernel with StyleGAN2 modulation folded in: per-sample input
+    scale s (B, Cin) applied once to the DMA'd rows, per-sample demod
+    d (B, Cout) applied to the accumulator before bias+lrelu."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    step = b * ni + i
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
+
+    def dma(bb, ii, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * th, th + 2)], x_vmem.at[s], sems.at[s])
+
+    @pl.when(step == 0)
+    def _():
+        dma(b, i, slot).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * ni)
+    def _():
+        nstep = step + 1
+        dma(nstep // ni, jax.lax.rem(nstep, ni), nslot).start()
+
+    dma(b, i, slot).wait()
+    # one modulation pass over the halo'd rows (instead of 9 per-tap ones)
+    x_vmem[slot] = (x_vmem[slot]
+                    * s_ref[0][None, None, :].astype(x_vmem.dtype))
+
+    acc = jnp.zeros((th, w_cols, w_ref.shape[2]), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            xt = x_vmem[slot, pl.ds(ky, th), pl.ds(kx, w_cols), :]
+            acc = acc + jax.lax.dot_general(
+                xt, w_ref[ky * 3 + kx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc = acc * d_ref[0][None, None, :]
+    acc = acc + b_ref[0][None, None, :]
+    acc = jnp.where(acc >= 0.0, acc, 0.2 * acc) * SQRT2
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("th",))
+def conv3x3_mod_fused(x, w, bias, style, demod, *, th: int = 16):
+    """Modulated conv + demod + bias + lrelu, all fused.
+    style: (B, Cin) per-sample input scales; demod: (B, Cout)."""
+    bsz, h, wd, c = x.shape
+    cout = w.shape[3]
+    assert h % th == 0
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 0)))
+    wp = xp.shape[2]
+    w9 = w.reshape(9, c, cout)
+    return pl.pallas_call(
+        functools.partial(_kernel_mod, th=th, w_cols=wd, cin=c),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wd, cout), x.dtype),
+        grid=(bsz, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, c, cout), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((1, cout), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, c), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, cout), lambda b, i: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, wd, cout),
+                               lambda b, i: (b, i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wp, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wd * c * cout * 9,
+            bytes_accessed=(x.size + bsz * h * wd * cout) * x.dtype.itemsize
+            + w.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xp, w9.astype(x.dtype), bias.reshape(1, -1).astype(jnp.float32),
+      style.astype(jnp.float32), demod.astype(jnp.float32))
+
+
+def conv3x3_mod_xla(x, w, bias, style, demod):
+    """The package's ModulatedConv2d formulation (nn/layers.py): modulate
+    activations, conv, demodulate outputs; epilogue as a separate op."""
+    xm = x * style[:, None, None, :].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        xm, w.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y * demod[:, None, None, :].astype(x.dtype)
+    y = y + bias.astype(x.dtype)[None, None, None, :]
+    return jnp.where(y >= 0, y, 0.2 * y) * jnp.asarray(SQRT2, x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # harness (fetch-fenced device loops; see tools/pallas_bench.py::timeit)
 # ---------------------------------------------------------------------------
 
@@ -179,12 +277,18 @@ def main():
         x = jax.random.normal(k1, (2, sz, sz, 128), jnp.float32)
         w = jax.random.normal(k2, (3, 3, 128, 128), jnp.float32) * 0.05
         bias = jax.random.normal(k3, (128,), jnp.float32)
+        style = jax.random.uniform(k2, (2, 128), jnp.float32) + 0.5
+        dem = jax.random.uniform(k3, (2, 128), jnp.float32) + 0.5
         with pltpu.force_tpu_interpret_mode():
             got = conv3x3_fused(x, w, bias, th=min(8, sz))
+            got_m = conv3x3_mod_fused(x, w, bias, style, dem, th=min(8, sz))
         want = conv3x3_xla(x, w, bias)
+        want_m = conv3x3_mod_xla(x, w, bias, style, dem)
         err = float(jnp.max(jnp.abs(got - want)))
-        print(f"correctness max|Δ| = {err:.2e}")
+        err_m = float(jnp.max(jnp.abs(got_m - want_m)))
+        print(f"correctness max|Δ| = {err:.2e}  modulated = {err_m:.2e}")
         assert err < 1e-3, "kernel does not match XLA conv"
+        assert err_m < 1e-3, "modulated kernel does not match"
         return
 
     print(f"backend={jax.default_backend()}", flush=True)
@@ -214,6 +318,24 @@ def main():
                           ).astype(np.float32)
         print(f"    max|Δ| (bf16 corner) = {np.max(np.abs(got - want)):.3f}",
               flush=True)
+
+        # modulated variant — the StyledConv wiring candidate
+        style = jax.random.uniform(k2, (bsz, 128), jnp.float32) + 0.5
+        dem = jax.random.uniform(k3, (bsz, 128), jnp.float32) + 0.5
+        t_xla_m = timeit(lambda x, w, b: conv3x3_mod_xla(x, w, b, style, dem),
+                         x, w, bias, reps=args.reps)
+        try:
+            t_pl_m = timeit(
+                lambda x, w, b: conv3x3_mod_fused(x, w, b, style, dem,
+                                                  th=args.th),
+                x, w, bias, reps=args.reps)
+        except Exception as e:  # noqa: BLE001
+            t_pl_m = float("nan")
+            print(f"  modulated pallas failed: {type(e).__name__}: {e}",
+                  flush=True)
+        print(f"b{bsz} modulated: xla={t_xla_m:7.3f} ms  "
+              f"pallas(fused)={t_pl_m:7.3f} ms  "
+              f"speedup={t_xla_m / t_pl_m:5.2f}x", flush=True)
 
 
 if __name__ == "__main__":
