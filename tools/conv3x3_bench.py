@@ -164,7 +164,7 @@ def _kernel_mod(x_hbm, w_ref, b_ref, s_ref, d_ref, out_ref, x_vmem, sems,
     dma(b, i, slot).wait()
     # one modulation pass over the halo'd rows (instead of 9 per-tap ones)
     x_vmem[slot] = (x_vmem[slot]
-                    * s_ref[0][None, None, :].astype(x_vmem.dtype))
+                    * s_ref[0, 0][None, None, :].astype(x_vmem.dtype))
 
     acc = jnp.zeros((th, w_cols, w_ref.shape[2]), jnp.float32)
     for ky in range(3):
@@ -175,7 +175,7 @@ def _kernel_mod(x_hbm, w_ref, b_ref, s_ref, d_ref, out_ref, x_vmem, sems,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    acc = acc * d_ref[0][None, None, :]
+    acc = acc * d_ref[0, 0][None, None, :]
     acc = acc + b_ref[0][None, None, :]
     acc = jnp.where(acc >= 0.0, acc, 0.2 * acc) * SQRT2
     out_ref[0] = acc.astype(out_ref.dtype)
@@ -199,8 +199,10 @@ def conv3x3_mod_fused(x, w, bias, style, demod, *, th: int = 16):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9, c, cout), lambda b, i: (0, 0, 0)),
             pl.BlockSpec((1, cout), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, c), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, cout), lambda b, i: (b, 0)),
+            # (B,1,C) with a (1,1,C) block: the lowering requires the last
+            # two block dims be 8/128-divisible OR equal to the array dims
+            pl.BlockSpec((1, 1, c), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda b, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, th, wd, cout),
                                lambda b, i: (b, i, 0, 0)),
@@ -215,7 +217,8 @@ def conv3x3_mod_fused(x, w, bias, style, demod, *, th: int = 16):
             transcendentals=0,
         ),
     )(xp, w9.astype(x.dtype), bias.reshape(1, -1).astype(jnp.float32),
-      style.astype(jnp.float32), demod.astype(jnp.float32))
+      style.astype(jnp.float32)[:, None, :],
+      demod.astype(jnp.float32)[:, None, :])
 
 
 def conv3x3_mod_xla(x, w, bias, style, demod):
