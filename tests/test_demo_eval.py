@@ -193,3 +193,44 @@ def test_demo_server_roundtrip():
     finally:
         server.shutdown()
         server.server_close()
+
+
+@pytest.mark.slow
+def test_edit_cli_seed_and_latent_bank(tmp_path):
+    """cli/edit.py: one-shot scriptable editing — seeded-sample mode with
+    two prompts (session reuse), then W+-bank mode at batch 2."""
+    from where2edit_tpu.cli import edit as cli
+
+    out = tmp_path / "edits"
+    results = cli.main([
+        "--ckpt", "/nonexistent", "--stylegan_size", "32",
+        "--attention_layer", "4", "--cluster_layer", "4",
+        "--seed", "3", "--region", "hair", "--coverage", "0.2",
+        "--text", "a person with grey hair", "bushy eyebrows!",
+        "--output_dir", str(out),
+    ])
+    assert (out / "original.png").exists()
+    assert len(results) == 2
+    for r in results:
+        assert r["ms"] > 0
+        assert (tmp_path / r["edit"]).exists() or \
+            __import__("os").path.exists(r["edit"])
+        assert __import__("os").path.exists(r["attention_map"])
+    # slugged filenames: punctuation collapsed
+    assert "edit_01_bushy_eyebrows" in results[1]["edit"]
+
+    bank = np.random.default_rng(0).standard_normal(
+        (2, 8, 512)).astype(np.float32)  # n_latent(32px) = 8
+    np.save(tmp_path / "bank.npy", bank)
+    out2 = tmp_path / "edits_bank"
+    results = cli.main([
+        "--ckpt", "/nonexistent", "--stylegan_size", "32",
+        "--attention_layer", "4", "--cluster_layer", "4",
+        "--latent", str(tmp_path / "bank.npy"),
+        "--text", "smiling", "--output_dir", str(out2),
+    ])
+    assert (out2 / "original.png").exists()
+    edited = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(
+        results[0]["edit"]))
+    # batch-2 grid: two 32px tiles + 3 pad columns
+    assert edited.shape[1] == 2 * 32 + 3 * 2
