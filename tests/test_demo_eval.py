@@ -234,3 +234,54 @@ def test_edit_cli_seed_and_latent_bank(tmp_path):
         results[0]["edit"]))
     # batch-2 grid: two 32px tiles + 3 pad columns
     assert edited.shape[1] == 2 * 32 + 3 * 2
+
+
+@pytest.mark.slow
+def test_edit_cli_image_mode(tmp_path):
+    """cli/edit.py --image: real-face mode — e4e inversion through
+    PSp.from_torch_checkpoint, then a text edit (try_demo 'Real' mode)."""
+    import argparse as ap
+    import os
+
+    import torch
+    from PIL import Image
+
+    from oracle import require_reference
+
+    require_reference()
+    from models.encoders import psp_encoders  # ref import
+    from models.stylegan2.model import Generator as TorchGenerator
+
+    torch.manual_seed(0)
+    tenc = psp_encoders.Encoder4Editing(
+        50, "ir_se", ap.Namespace(stylegan_size=32))
+    tgen = TorchGenerator(32, 512, 8, channel_multiplier=2)
+    sd = {f"encoder.{k}": v for k, v in tenc.state_dict().items()}
+    sd.update({f"decoder.{k}": v for k, v in tgen.state_dict().items()})
+    e4e_path = tmp_path / "e4e.pt"
+    torch.save({"state_dict": sd, "latent_avg": torch.randn(8, 512)},
+               e4e_path)
+
+    rng = np.random.default_rng(2)
+    face = tmp_path / "face.jpg"
+    Image.fromarray(
+        rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)).save(face)
+
+    from where2edit_tpu.cli import edit as cli
+
+    out = tmp_path / "edits_real"
+    results = cli.main([
+        "--ckpt", "/nonexistent", "--stylegan_size", "32",
+        "--attention_layer", "4", "--cluster_layer", "4",
+        "--image", str(face), "--e4e_ckpt", str(e4e_path),
+        "--text", "grey hair", "--output_dir", str(out),
+    ])
+    assert (out / "original.png").exists()
+    assert os.path.exists(results[0]["edit"])
+
+    # --image without --e4e_ckpt is a clear, early error
+    with pytest.raises(SystemExit, match="e4e_ckpt"):
+        cli.main(["--ckpt", "/nonexistent", "--stylegan_size", "32",
+                  "--attention_layer", "4", "--cluster_layer", "4",
+                  "--image", str(face), "--text", "x",
+                  "--output_dir", str(out)])

@@ -144,3 +144,27 @@ def test_crop_resize_bilinear_identity_and_variable_sizes():
     out3 = crop_resize_bilinear(x, jnp.float32(0), jnp.float32(0),
                                 jnp.float32(16), 16)
     assert not np.allclose(np.asarray(out2), np.asarray(out3))
+
+
+def test_enable_compile_cache_knobs(tmp_path, monkeypatch):
+    """utils/cache.py: entry points opt into the persistent compile cache;
+    W2E_COMPILE_CACHE=0 disables, W2E_JAX_CACHE overrides the directory."""
+    import jax
+
+    from where2edit_tpu.utils.cache import enable_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("W2E_COMPILE_CACHE", "0")
+        assert enable_compile_cache() is None
+        assert jax.config.jax_compilation_cache_dir == prev
+
+        monkeypatch.delenv("W2E_COMPILE_CACHE")
+        monkeypatch.setenv("W2E_JAX_CACHE", str(tmp_path / "cache"))
+        got = enable_compile_cache()
+        assert got == str(tmp_path / "cache")
+        assert jax.config.jax_compilation_cache_dir == got
+        # explicit path wins over the env var
+        assert enable_compile_cache(str(tmp_path / "x")) == str(tmp_path / "x")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

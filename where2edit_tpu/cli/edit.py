@@ -85,6 +85,11 @@ def _load_wplus_bank(path: str):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.image is not None and not args.e4e_ckpt:
+        raise SystemExit("--image requires --e4e_ckpt for inversion")
+    from where2edit_tpu.utils.cache import enable_compile_cache  # noqa: PLC0415
+
+    enable_compile_cache()
 
     import jax
     import jax.numpy as jnp
@@ -97,8 +102,6 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     if args.image is not None:
-        if not args.e4e_ckpt:
-            raise SystemExit("--image requires --e4e_ckpt for inversion")
         from PIL import Image  # noqa: PLC0415
 
         from where2edit_tpu.cli.common import load_torch_state

@@ -65,6 +65,9 @@ def _load_models(args):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from where2edit_tpu.utils.cache import enable_compile_cache  # noqa: PLC0415
+
+    enable_compile_cache()
     rng = random.Random(args.seed)
     session, closs = _load_models(args)
 

@@ -68,6 +68,9 @@ def resolve_opts(cli_args: dict, ckpt_opts: dict | None) -> dict:
 
 def main(argv=None):
     args = vars(build_argparser().parse_args(argv))
+    from where2edit_tpu.utils.cache import enable_compile_cache  # noqa: PLC0415
+
+    enable_compile_cache()
 
     tree, ckpt_opts = load_checkpoint(args["checkpoint_path"])
     opts = resolve_opts(args, ckpt_opts)

@@ -125,6 +125,9 @@ def load_warmstart_mapper_params(args) -> dict:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from where2edit_tpu.utils.cache import enable_compile_cache  # noqa: PLC0415
+
+    enable_compile_cache()
     if os.path.exists(args.exp_dir):
         raise Exception(f"Oops... {args.exp_dir} already exists")
     os.makedirs(args.exp_dir)

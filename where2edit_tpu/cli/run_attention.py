@@ -152,6 +152,9 @@ def load_clip(clip_ckpt: str | None):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from where2edit_tpu.utils.cache import enable_compile_cache  # noqa: PLC0415
+
+    enable_compile_cache()
     if args.multihost:
         from where2edit_tpu.parallel.mesh import initialize_multihost  # noqa: PLC0415
 

@@ -45,6 +45,9 @@ def main(argv=None):
                         "gathered to the host for k-means exactly as the "
                         "reference gathers to rank 0). -1 = all devices.")
     args = p.parse_args(argv)
+    from where2edit_tpu.utils.cache import enable_compile_cache  # noqa: PLC0415
+
+    enable_compile_cache()
 
     key = set_random_seed(args.seed)
     sharding = None

@@ -348,6 +348,9 @@ def main(argv=None):
     p.add_argument("--attention_layer", type=int, default=13)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
+    from where2edit_tpu.utils.cache import enable_compile_cache  # noqa: PLC0415
+
+    enable_compile_cache()
 
     report = {}
     for name, fn in VALIDATORS.items():

@@ -24,6 +24,9 @@ REGION_PROMPTS = {
 
 
 def load_session(args):
+    from where2edit_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
