@@ -285,3 +285,23 @@ def test_edit_cli_image_mode(tmp_path):
                   "--attention_layer", "4", "--cluster_layer", "4",
                   "--image", str(face), "--text", "x",
                   "--output_dir", str(out)])
+
+
+@pytest.mark.slow
+def test_edit_cli_batch_prompts(tmp_path):
+    """--batch_prompts: all prompts in one dispatch over one face."""
+    import os
+
+    from where2edit_tpu.cli import edit as cli
+
+    out = tmp_path / "sweep"
+    results = cli.main([
+        "--ckpt", "/nonexistent", "--stylegan_size", "32",
+        "--attention_layer", "4", "--cluster_layer", "4",
+        "--seed", "1", "--batch_prompts",
+        "--text", "grey hair", "red lipstick", "bushy eyebrows",
+        "--output_dir", str(out),
+    ])
+    assert len(results) == 3
+    assert all(os.path.exists(r["edit"]) for r in results)
+    assert all(os.path.exists(r["attention_map"]) for r in results)

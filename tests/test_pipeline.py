@@ -188,3 +188,61 @@ def test_psp_composite_random_weights():
     assert img.shape == (1, 256, 256, 3)
     assert latent.shape == (1, gen.n_latent, 512)
     assert len(styles) == 2 + 3 * (gen.log_size - 2)
+
+
+@pytest.mark.slow
+def test_edit_prompt_sweep_matches_serial():
+    """N prompts over ONE cached face run as a single batch-N dispatch
+    (EditSession broadcasts the face's latents/taps to the text batch);
+    results must match the N serial single-prompt edits."""
+    from where2edit_tpu.demo.api import EditSession
+    from where2edit_tpu.editing.attention_mappers import (
+        FullSpaceMapperFEATClusterLinStyle,
+        attention_tables,
+    )
+    from where2edit_tpu.models.stylegan2 import Generator
+
+    gen = Generator(size=SIZE)
+    key = jax.random.PRNGKey(0)
+    gvars = gen.init({"params": key, "noise": key}, [jnp.zeros((1, 512))])
+    tables = attention_tables(SIZE)
+    att_layer = 7
+    mapper = FullSpaceMapperFEATClusterLinStyle(
+        layers=tables["n_latent"], attention_layer=att_layer,
+        cluster_layer=att_layer, clusters=4, cluster_dim=512 + 64,
+        generator_size=SIZE, latent_dim=32, in_dim=32 + 512)
+
+    z = jnp.zeros((1, 512))
+    out = gen.apply(gvars, [z], randomize_noise=False, return_features=True)
+    feats = list(out.feature_map) + [gvars["params"]["input"]["input"]]
+    mvars = dict(mapper.init({"params": key}, jnp.zeros((1, 32)),
+                             out.style_vector, feats,
+                             feats[att_layer - 1].shape[1],
+                             deterministic_noise=True))
+    mvars["clusters"] = {"initial_state":
+                         jax.random.normal(key, (4, 512 + 64))}
+
+    # "CLIP": a deterministic per-prompt feature so prompts actually differ
+    def fake_encode(toks):
+        return jnp.asarray(toks[:, :32], jnp.float32) / 100.0
+
+    session = EditSession(
+        generator=gen, gen_vars=gvars, mapper=mapper, mapper_vars=mvars,
+        clip_encode_text=fake_encode, attention_layer=att_layer)
+    session.load_synthetic(jax.random.PRNGKey(3))
+
+    rng = np.random.default_rng(0)
+    prompts = rng.integers(0, 5000, (3, 77)).astype(np.int32)
+
+    img_sweep, amap_sweep = session.edit(prompts, strength_alpha=0.2)
+    assert img_sweep.shape == (3, SIZE, SIZE, 3)
+    assert amap_sweep.shape[0] == 3
+
+    for i in range(3):
+        img_i, amap_i = session.edit(prompts[i: i + 1], strength_alpha=0.2)
+        np.testing.assert_allclose(np.asarray(img_sweep[i]),
+                                   np.asarray(img_i[0]),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(amap_sweep[i]),
+                                   np.asarray(amap_i[0]),
+                                   atol=2e-4, rtol=1e-4)

@@ -59,6 +59,10 @@ def build_argparser():
                    help="attention coverage in [0,1]; threshold = "
                         "1 - 0.25*coverage (try_demo.py slider mapping)")
     p.add_argument("--truncation", type=float, default=0.7)
+    p.add_argument("--batch_prompts", action="store_true",
+                   help="run all --text prompts as ONE batched dispatch "
+                        "(single-face sources only; throughput mode — "
+                        "per-prompt latency is not reported)")
     p.add_argument("--output_dir", type=str, default="edit_results")
     return p
 
@@ -127,6 +131,33 @@ def main(argv=None):
 
     threshold = 1.0 - 0.25 * float(args.coverage)
     results = []
+    if args.batch_prompts and len(args.text) > 1:
+        if batch != 1:
+            raise SystemExit("--batch_prompts needs a single-face source")
+        att_prompts = [(REGION_PROMPTS[args.region] if args.region
+                        else (args.attention_text or t)) for t in args.text]
+        toks = jnp.asarray(tokenize(list(args.text)))
+        att = jnp.asarray(tokenize(att_prompts))
+        t0 = time.time()
+        imgs, amaps = session.edit(toks, att,
+                                   strength_alpha=float(args.strength),
+                                   attention_threshold=threshold)
+        imgs, amaps = np.asarray(imgs), np.asarray(amaps)
+        ms = (time.time() - t0) * 1000
+        for i, text in enumerate(args.text):
+            stem = f"{i:02d}_{_slug(text)}"
+            edit_path = os.path.join(args.output_dir, f"edit_{stem}.png")
+            att_path = os.path.join(args.output_dir,
+                                    f"attention_{stem}.png")
+            save_image_grid(imgs[i: i + 1], edit_path, nrow=1)
+            save_image_grid(amaps[i: i + 1], att_path, nrow=1,
+                            value_range=(0, 1))
+            results.append({"text": text, "attention": att_prompts[i],
+                            "ms": ms / len(args.text), "edit": edit_path,
+                            "attention_map": att_path})
+        print(f"[sweep] {len(args.text)} prompts in one dispatch: "
+              f"{ms:.0f} ms total ({ms / len(args.text):.1f} ms/prompt)")
+        return results
     for i, text in enumerate(args.text):
         att_prompt = (REGION_PROMPTS[args.region] if args.region
                       else (args.attention_text or text))

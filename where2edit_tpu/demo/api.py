@@ -122,6 +122,25 @@ class EditSession:
         # weights closed over become HLO constants, which compile ~100x
         # slower on remote-compile backends.
         def _edit_fn(g_vars, m_vars, **kw):
+            # prompt sweep: N prompts over ONE cached face run as a single
+            # batch-N program — the face's latents/taps broadcast to the
+            # text batch (free for XLA; the synthesis then amortizes like
+            # any batched edit). No reference equivalent (try_demo edits
+            # one prompt per click).
+            n = kw["text_features"].shape[0]
+            lat = kw["latent"]
+            b = (lat[0] if isinstance(lat, (list, tuple)) else lat).shape[0]
+            if b == 1 and n > 1:
+                def tile(x):
+                    return (None if x is None
+                            else jnp.broadcast_to(x, (n,) + x.shape[1:]))
+
+                kw["latent"] = ([tile(s) for s in lat]
+                                if isinstance(lat, (list, tuple))
+                                else tile(lat))
+                for name in ("feature_map", "mapper_feature_map"):
+                    if kw.get(name) is not None:
+                        kw[name] = [tile(f) for f in kw[name]]
             img, new_lat, amap, _ = one_text_edit(
                 generator=generator, gen_vars=g_vars, mapper=mapper,
                 mapper_vars=m_vars, attention_layer=attention_layer,
@@ -205,6 +224,10 @@ class EditSession:
 
     def edit(self, prompt_tokens, attention_tokens=None,
              strength_alpha: float = 0.1, attention_threshold: float = 0.75):
+        """Edit the loaded face(s). Token batch must equal the face batch,
+        EXCEPT the prompt-sweep case: with ONE loaded face, a batch of N
+        prompt rows runs as a single batch-N program (latents/taps
+        broadcast) and returns N edited images/maps."""
         if self.latent is None:
             raise RuntimeError("load a face first (load_synthetic/load_latent)")
         text = self.clip_encode_text(prompt_tokens)
