@@ -62,6 +62,11 @@ SLOW_TESTS = {
     "test_gradual_style_encoder",
     "test_arcface_backbone",
     "test_e4e_encoder",
+    "test_gan_trainer_step_runs_and_updates",
+    "test_gan_d_only_training_decreases_d_loss",
+    "test_gan_remat_matches_nonremat_g_loss",
+    "test_gan_dp_step_equals_single_device",
+    "test_train_stylegan_cli_end_to_end",
 }
 
 

@@ -1,0 +1,183 @@
+"""StyleGAN2 adversarial training CLI — TPU-native extension.
+
+The reference has no GAN-training entry point (its Discriminator is dead
+code, SURVEY.md §2.2); this CLI pretrains/finetunes the generator the
+framework otherwise only consumes. Flags follow the upstream
+rosinality-lineage conventions the reference's checkpoints come from
+(pretrained_models/ReadME.md:1) so the hyperparameters transfer, but the
+loop itself is the TPU-first ``train/gan_trainer.py`` (jitted step programs,
+traced style mixing, GSPMD data parallelism, bf16/remat levers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from where2edit_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from where2edit_tpu.train.datasets import ImageBank
+from where2edit_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+from where2edit_tpu.utils.images import save_image_grid
+from where2edit_tpu.utils.logging import MetricsWriter
+from where2edit_tpu.utils.seed import set_random_seed
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, default=None,
+                   help="image directory | .npy | .npz of reals "
+                        "(N,H,W,3 uint8/float)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train against N random images instead of --data "
+                        "(smoke/bring-up only)")
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--channel_multiplier", type=int, default=2)
+    p.add_argument("--batch", type=int, default=8,
+                   help="GLOBAL batch (sharded over --dp devices)")
+    p.add_argument("--iter", type=int, default=800000)
+    p.add_argument("--lr", type=float, default=0.002)
+    p.add_argument("--r1", type=float, default=10.0)
+    p.add_argument("--d_reg_every", type=int, default=16)
+    p.add_argument("--g_reg_every", type=int, default=4)
+    p.add_argument("--path_regularize", type=float, default=2.0)
+    p.add_argument("--path_batch_shrink", type=int, default=2)
+    p.add_argument("--mixing", type=float, default=0.9)
+    p.add_argument("--ema_kimg", type=float, default=10.0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 synthesis compute (losses/regularizers fp32)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the generator pass in g_step")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel over an N-device 'data' mesh "
+                        "(-1 = all devices)")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="warm-start generator from converted torch g_ema "
+                        "weights (finetune) — see cli/convert_weights.py")
+    p.add_argument("--resume", type=str, default="",
+                   help="resume from a checkpoint dir written by this CLI")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--results_dir", type=str, default="results/gan")
+    p.add_argument("--save_every", type=int, default=10000)
+    p.add_argument("--sample_every", type=int, default=1000)
+    p.add_argument("--n_sample", type=int, default=16)
+    args = p.parse_args(argv)
+    from where2edit_tpu.utils.cache import enable_compile_cache  # noqa: PLC0415
+
+    enable_compile_cache()
+    set_random_seed(args.seed)
+
+    mesh = None
+    if args.dp:
+        from where2edit_tpu.parallel.mesh import make_mesh  # noqa: PLC0415
+
+        n_dp = len(jax.devices()) if args.dp == -1 else args.dp
+        if n_dp > len(jax.devices()):
+            raise SystemExit(f"--dp {n_dp} exceeds the "
+                             f"{len(jax.devices())} available devices")
+        if args.batch % n_dp:
+            raise SystemExit(f"--batch {args.batch} not divisible by "
+                             f"--dp {n_dp}")
+        mesh = make_mesh(data=n_dp)
+        print(f"[dp] {n_dp}-device data mesh: {mesh}")
+
+    if args.synthetic:
+        rng0 = np.random.default_rng(args.seed)
+        bank = ImageBank(images=rng0.uniform(
+            -1.0, 1.0, (args.synthetic, args.size, args.size, 3)
+        ).astype(np.float32))
+    elif args.data:
+        bank = ImageBank.from_path(args.data, args.size)
+    else:
+        raise SystemExit("one of --data/--synthetic is required")
+    print(f"reals: {len(bank)} images at {args.size}px")
+
+    cfg = GANTrainConfig(
+        size=args.size, batch_size=args.batch, lr=args.lr, r1=args.r1,
+        d_reg_every=args.d_reg_every, g_reg_every=args.g_reg_every,
+        path_regularize=args.path_regularize,
+        path_batch_shrink=args.path_batch_shrink, mixing=args.mixing,
+        ema_kimg=args.ema_kimg, channel_multiplier=args.channel_multiplier,
+        bf16=args.bf16, remat=args.remat, seed=args.seed)
+
+    g_vars = None
+    if args.ckpt:
+        from where2edit_tpu.cli.common import build_generator  # noqa: PLC0415
+
+        _, g_vars, _ = build_generator(args.size, args.ckpt,
+                                       args.channel_multiplier,
+                                       dtype=jnp.bfloat16 if args.bf16
+                                       else jnp.float32)
+    trainer = GANTrainer(cfg, mesh=mesh, g_vars=g_vars)
+
+    start = 0
+    if args.resume:
+        tree, _ = load_checkpoint(args.resume)
+        trainer.g_params = tree["g"]
+        trainer.d_params = tree["d"]
+        trainer.g_ema_params = tree["g_ema"]
+        trainer.pl_mean = jnp.asarray(tree["pl_mean"])
+        start = int(tree.get("step", 0))
+        trainer.global_step = start
+        # opt states restore positionally onto the freshly-built trees
+        from flax import serialization  # noqa: PLC0415
+
+        if "g_opt" in tree:
+            trainer.g_opt_state = serialization.from_state_dict(
+                trainer.g_opt_state, tree["g_opt"])
+            trainer.d_opt_state = serialization.from_state_dict(
+                trainer.d_opt_state, tree["d_opt"])
+        print(f"resumed from {args.resume} at step {start}")
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    metrics_writer = MetricsWriter(os.path.join(args.results_dir, "logs"))
+    rng = np.random.default_rng(args.seed + 1)
+    sample_z = jnp.asarray(
+        np.random.default_rng(args.seed + 2).standard_normal(
+            (args.n_sample, 512), dtype=np.float32))
+    sample_fn = jax.jit(lambda gv, z: trainer.generator.apply(
+        gv, [z], randomize_noise=False).image)
+
+    def checkpoint(step: int):
+        from flax import serialization  # noqa: PLC0415
+
+        path = os.path.join(args.results_dir, f"ckpt_{step:07d}")
+        save_checkpoint(path, {
+            "g": trainer.g_params, "d": trainer.d_params,
+            "g_ema": trainer.g_ema_params,
+            "g_opt": serialization.to_state_dict(trainer.g_opt_state),
+            "d_opt": serialization.to_state_dict(trainer.d_opt_state),
+            "pl_mean": trainer.pl_mean, "step": step,
+        }, opts=vars(args))
+        return path
+
+    t0 = time.time()
+    for step in range(start, args.iter):
+        real = jnp.asarray(bank.sample(rng, args.batch))
+        m = trainer.step(real)
+        if step % 10 == 0:
+            rate = args.batch * (step - start + 1) / (time.time() - t0)
+            print(f"[{step}] " + " ".join(
+                f"{k}={v:.4f}" for k, v in m.items())
+                + f" ({rate:.1f} imgs/s)")
+            for k, v in m.items():
+                metrics_writer.add_scalar(f"train/{k}", v, step)
+        if args.sample_every and (step + 1) % args.sample_every == 0:
+            img = sample_fn(trainer.ema_generator_variables(), sample_z)
+            save_image_grid(
+                np.asarray(img, np.float32),
+                os.path.join(args.results_dir, f"sample_{step + 1:07d}.jpg"),
+                nrow=int(round(args.n_sample ** 0.5)) or 1, scale_each=True)
+        if args.save_every and (step + 1) % args.save_every == 0:
+            print(f"checkpoint → {checkpoint(step + 1)}")
+    final = checkpoint(args.iter)
+    print(f"final checkpoint → {final}")
+    return final
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,333 @@
+"""Adversarial (StyleGAN2) training — TPU-native extension.
+
+The reference ships the Discriminator (models/stylegan2/model.py:647-705)
+but no adversarial training loop — SURVEY.md §2.2 records it as "defined but
+never invoked"; generator weights always arrive pre-trained from the
+upstream rosinality lineage. This module makes the discriminator live: the
+standard StyleGAN2 objective (non-saturating logistic loss, lazy R1 on
+reals, lazy path-length regularization on the generator, generator EMA),
+designed TPU-first rather than ported:
+
+  * four jitted step programs (``d_step``, ``d_r1_step``, ``g_step``,
+    ``g_path_step``) scheduled from the host loop — the lazy-regularization
+    cadence is static Python, so every program is straight-line XLA with no
+    data-dependent control flow;
+  * style mixing is a *traced* ``inject_index`` (the mixing probability
+    folds into a ``jnp.where``), not host randomness that would change
+    traced shapes between steps;
+  * DP over a mesh 'data' axis via sharding constraints on the step inputs
+    — GSPMD inserts the gradient all-reduces (the DDP equivalent); the
+    minibatch-stddev layer then sees GLOBAL-batch statistics, i.e. the
+    sharded step is numerically the single-device global-batch step
+    (tests/test_gan_training.py proves it), unlike DDP's per-GPU stddev;
+  * R1's grad-of-grad and the path-length penalty's double-backward are
+    plain ``jax.grad`` compositions — no ``create_graph`` bookkeeping;
+  * optional bf16 synthesis (losses and both regularizers accumulate fp32)
+    and ``jax.checkpoint`` remat of the generator pass inside ``g_step``.
+
+Loss/regularizer definitions follow the StyleGAN2 paper (Karras et al.,
+"Analyzing and Improving the Image Quality of StyleGAN", CVPR 2020), §3
+(path length) and the lazy-regularization Adam correction from its App. B.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from where2edit_tpu.models.stylegan2 import Discriminator, Generator
+
+
+@dataclasses.dataclass
+class GANTrainConfig:
+    size: int = 1024
+    batch_size: int = 8           # GLOBAL batch (sharded over 'data' if DP)
+    lr: float = 0.002
+    r1: float = 10.0              # R1 gamma
+    d_reg_every: int = 16         # lazy R1 cadence (0/neg disables)
+    g_reg_every: int = 4          # lazy path-length cadence (0/neg disables)
+    path_regularize: float = 2.0
+    path_batch_shrink: int = 2    # path-reg batch = batch_size // shrink
+    mixing: float = 0.9           # style-mixing probability
+    ema_kimg: float = 10.0        # EMA half-life in thousands of images
+    channel_multiplier: int = 2
+    bf16: bool = False            # bf16 synthesis compute (fp32 losses)
+    remat: bool = False           # jax.checkpoint the g_step synthesis
+    seed: int = 0
+
+
+def logistic_d_loss(real_pred: jnp.ndarray, fake_pred: jnp.ndarray):
+    """Non-saturating logistic discriminator loss:
+    E[softplus(-D(real))] + E[softplus(D(fake))]."""
+    return (jnp.mean(jax.nn.softplus(-real_pred.astype(jnp.float32)))
+            + jnp.mean(jax.nn.softplus(fake_pred.astype(jnp.float32))))
+
+
+def logistic_g_loss(fake_pred: jnp.ndarray):
+    """Non-saturating generator loss: E[softplus(-D(fake))]."""
+    return jnp.mean(jax.nn.softplus(-fake_pred.astype(jnp.float32)))
+
+
+def r1_penalty(d_apply, d_params, real: jnp.ndarray) -> jnp.ndarray:
+    """E_x[||∇_x D(x)||²] over the real batch (fp32).
+
+    ``d_apply(params, x) -> (B, 1)``. The grad-of-grad needed to train on
+    this penalty is the caller's plain ``jax.grad`` over d_params.
+    """
+    def pred_sum(x):
+        return jnp.sum(d_apply(d_params, x).astype(jnp.float32))
+
+    g = jax.grad(pred_sum)(real.astype(jnp.float32))
+    return jnp.mean(jnp.sum(jnp.square(g), axis=(1, 2, 3)))
+
+
+def path_length_penalty(img_from_wplus, wplus: jnp.ndarray,
+                        pl_mean: jnp.ndarray, noise_key: jax.Array,
+                        decay: float = 0.01):
+    """StyleGAN2 §3 perceptual path length regularizer.
+
+    ``img_from_wplus(wplus) -> (B, H, W, 3)`` must be differentiable w.r.t.
+    ``wplus`` (and may close over generator params for the caller's outer
+    grad). Returns (penalty, path_lengths, new_pl_mean); ``new_pl_mean`` is
+    the detached running mean a = a + decay·(E[len] − a).
+    """
+    def img_dot(w):
+        img = img_from_wplus(w)
+        h, wd = img.shape[1], img.shape[2]
+        noise = jax.random.normal(noise_key, img.shape,
+                                  jnp.float32) / math.sqrt(h * wd)
+        return jnp.sum(img.astype(jnp.float32) * noise)
+
+    grads = jax.grad(img_dot)(wplus)                       # (B, L, 512)
+    lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(grads.astype(jnp.float32)),
+                                        axis=2), axis=1))  # (B,)
+    new_mean = pl_mean + decay * (jnp.mean(lengths) - pl_mean)
+    new_mean = jax.lax.stop_gradient(new_mean)
+    penalty = jnp.mean(jnp.square(lengths - new_mean))
+    return penalty, lengths, new_mean
+
+
+class GANTrainer:
+    """Host loop owner for StyleGAN2 adversarial training on TPU.
+
+    ``next(batch_iter)`` (or ``step(real)``'s argument) supplies real images
+    as (batch, size, size, 3) float in [-1, 1], NHWC. With ``mesh`` (a
+    jax.sharding.Mesh with a 'data' axis) the step inputs are
+    sharding-constrained batch-over-data and GSPMD runs the whole update
+    DP — params replicated, grad all-reduce inserted automatically.
+    """
+
+    def __init__(self, cfg: GANTrainConfig, *, mesh=None,
+                 generator: Optional[Generator] = None,
+                 discriminator: Optional[Discriminator] = None,
+                 g_vars: Optional[dict] = None,
+                 d_params: Optional[dict] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+        self.generator = generator or Generator(
+            size=cfg.size, channel_multiplier=cfg.channel_multiplier,
+            dtype=dtype)
+        self.discriminator = discriminator or Discriminator(
+            size=cfg.size, channel_multiplier=cfg.channel_multiplier)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        kg, kd, kn = jax.random.split(key, 3)
+        if g_vars is None:
+            g_vars = jax.jit(lambda: self.generator.init(
+                {"params": kg, "noise": kn},
+                [jnp.zeros((1, self.generator.style_dim))]))()
+        self.g_vars = dict(g_vars)
+        self.g_params = self.g_vars.pop("params")
+        if d_params is None:
+            d_params = jax.jit(lambda: self.discriminator.init(
+                {"params": kd},
+                jnp.zeros((1, cfg.size, cfg.size, 3))))()["params"]
+        self.d_params = d_params
+        self.g_ema_params = jax.tree.map(jnp.copy, self.g_params)
+        self.pl_mean = jnp.zeros(())
+
+        # Lazy-regularization Adam correction (StyleGAN2 App. B): the reg
+        # steps stretch the effective optimization interval, so lr and betas
+        # are scaled by c = every/(every+1) on the main steps.
+        def _adam(every: int):
+            c = every / (every + 1) if every and every > 0 else 1.0
+            return optax.adam(cfg.lr * c, b1=0.0, b2=0.99 ** c)
+
+        self.g_opt = _adam(cfg.g_reg_every)
+        self.d_opt = _adam(cfg.d_reg_every)
+        self.g_opt_state = self.g_opt.init(self.g_params)
+        self.d_opt_state = self.d_opt.init(self.d_params)
+
+        # per-step EMA decay from the half-life: 0.5 ** (batch / (kimg·1000))
+        self.ema_beta = 0.5 ** (cfg.batch_size / max(cfg.ema_kimg * 1000.0,
+                                                     1e-8))
+        self._build_steps()
+        self.global_step = 0
+
+    # -------------------------------------------------------------- plumbing
+    def _shard_batchdim(self, x):
+        """Sharding-constrain the leading (batch) dim over 'data'."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+        spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
+
+    def _mixed_wplus(self, g_params, key, batch: int):
+        """Sample a style-mixed W+ batch. The mixing probability folds into
+        a traced inject_index (inject = n_latent ⇒ no mixing) — one program
+        covers both outcomes, no host-side branch."""
+        g = self.generator
+        kz1, kz2, kp, ki = jax.random.split(key, 4)
+        z1 = self._shard_batchdim(jax.random.normal(kz1, (batch, g.style_dim)))
+        z2 = self._shard_batchdim(jax.random.normal(kz2, (batch, g.style_dim)))
+        gv = {"params": g_params, **self.g_vars}
+        w1 = g.apply(gv, z1, method=g.get_latent)
+        w2 = g.apply(gv, z2, method=g.get_latent)
+        inject = jnp.where(
+            jax.random.uniform(kp, ()) < self.cfg.mixing,
+            jax.random.randint(ki, (), 1, g.n_latent),
+            g.n_latent)
+        row = jnp.arange(g.n_latent)[None, :, None]
+        return jnp.where(row < inject, w1[:, None, :], w2[:, None, :])
+
+    def _synthesize(self, g_params, wplus, noise_key):
+        out = self.generator.apply(
+            {"params": g_params, **self.g_vars}, [wplus],
+            input_is_latent=True, rngs={"noise": noise_key})
+        return out.image
+
+    # ----------------------------------------------------------------- steps
+    def _build_steps(self):
+        cfg = self.cfg
+        gen, disc = self.generator, self.discriminator
+
+        def d_apply(d_params, x):
+            return disc.apply({"params": d_params}, x)
+
+        def d_step(d_params, d_opt_state, g_params, real, key):
+            real = self._shard_batchdim(real)
+            kw, kn = jax.random.split(key)
+            wplus = self._mixed_wplus(g_params, kw, real.shape[0])
+            fake = jax.lax.stop_gradient(
+                self._synthesize(g_params, wplus, kn))
+
+            def loss_fn(dp):
+                return logistic_d_loss(d_apply(dp, real),
+                                       d_apply(dp, fake.astype(real.dtype)))
+
+            loss, grads = jax.value_and_grad(loss_fn)(d_params)
+            updates, d_opt_state = self.d_opt.update(grads, d_opt_state,
+                                                     d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            return d_params, d_opt_state, loss
+
+        def d_r1_step(d_params, d_opt_state, real):
+            real = self._shard_batchdim(real)
+
+            def loss_fn(dp):
+                r1 = r1_penalty(d_apply, dp, real)
+                # lazy cadence: the penalty is applied every d_reg_every
+                # steps, scaled back up by the interval (StyleGAN2 App. B)
+                return cfg.r1 / 2.0 * r1 * cfg.d_reg_every
+
+            loss, grads = jax.value_and_grad(loss_fn)(d_params)
+            updates, d_opt_state = self.d_opt.update(grads, d_opt_state,
+                                                     d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            return d_params, d_opt_state, loss
+
+        def g_step(g_params, g_opt_state, d_params, key):
+            kw, kn = jax.random.split(key)
+
+            def loss_fn(gp):
+                wplus = self._mixed_wplus(gp, kw, cfg.batch_size)
+                synth = (jax.checkpoint(self._synthesize) if cfg.remat
+                         else self._synthesize)
+                fake = synth(gp, wplus, kn)
+                return logistic_g_loss(d_apply(d_params, fake))
+
+            loss, grads = jax.value_and_grad(loss_fn)(g_params)
+            updates, g_opt_state = self.g_opt.update(grads, g_opt_state,
+                                                     g_params)
+            g_params = optax.apply_updates(g_params, updates)
+            return g_params, g_opt_state, loss
+
+        def g_path_step(g_params, g_opt_state, pl_mean, key):
+            batch = max(1, cfg.batch_size // max(cfg.path_batch_shrink, 1))
+            kw, kn, kpl = jax.random.split(key, 3)
+
+            def loss_fn(gp):
+                wplus = self._mixed_wplus(gp, kw, batch)
+                penalty, lengths, new_mean = path_length_penalty(
+                    lambda w: self._synthesize(gp, w, kn), wplus, pl_mean,
+                    kpl)
+                loss = cfg.path_regularize * cfg.g_reg_every * penalty
+                return loss, (jnp.mean(lengths), new_mean)
+
+            (loss, (mean_len, new_mean)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(g_params)
+            updates, g_opt_state = self.g_opt.update(grads, g_opt_state,
+                                                     g_params)
+            g_params = optax.apply_updates(g_params, updates)
+            return g_params, g_opt_state, loss, mean_len, new_mean
+
+        def ema_step(ema, params, beta):
+            return jax.tree.map(
+                lambda e, p: e * beta + p.astype(e.dtype) * (1.0 - beta),
+                ema, params)
+
+        self._d_step = jax.jit(d_step, donate_argnums=(0, 1))
+        self._d_r1_step = jax.jit(d_r1_step, donate_argnums=(0, 1))
+        self._g_step = jax.jit(g_step, donate_argnums=(0, 1))
+        self._g_path_step = jax.jit(g_path_step, donate_argnums=(0, 1))
+        self._ema_step = jax.jit(ema_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------ host loop
+    def step(self, real, key: Optional[jax.Array] = None) -> dict:
+        """One full training iteration (D step, lazy R1, G step, lazy path
+        reg, EMA). ``real``: (batch, size, size, 3) in [-1, 1]. Returns the
+        scalar metrics of whatever ran this iteration."""
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed + self.global_step + 1)
+        kd, kg, kp = jax.random.split(key, 3)
+        real = jnp.asarray(real)
+        metrics: dict[str, Any] = {}
+
+        self.d_params, self.d_opt_state, d_loss = self._d_step(
+            self.d_params, self.d_opt_state, self.g_params, real, kd)
+        metrics["d_loss"] = d_loss
+
+        if cfg.d_reg_every > 0 and self.global_step % cfg.d_reg_every == 0:
+            self.d_params, self.d_opt_state, r1_loss = self._d_r1_step(
+                self.d_params, self.d_opt_state, real)
+            metrics["r1"] = r1_loss
+
+        self.g_params, self.g_opt_state, g_loss = self._g_step(
+            self.g_params, self.g_opt_state, self.d_params, kg)
+        metrics["g_loss"] = g_loss
+
+        if cfg.g_reg_every > 0 and self.global_step % cfg.g_reg_every == 0:
+            (self.g_params, self.g_opt_state, path_loss, mean_len,
+             self.pl_mean) = self._g_path_step(
+                self.g_params, self.g_opt_state, self.pl_mean, kp)
+            metrics["path"] = path_loss
+            metrics["path_length"] = mean_len
+
+        self.g_ema_params = self._ema_step(self.g_ema_params, self.g_params,
+                                           self.ema_beta)
+        self.global_step += 1
+        return {k: float(v) for k, v in metrics.items()}
+
+    def ema_generator_variables(self) -> dict:
+        """Variables dict for sampling from the EMA generator."""
+        return {"params": self.g_ema_params, **self.g_vars}
