@@ -103,7 +103,7 @@ def test_gan_trainer_step_runs_and_updates():
     hist = []
     for i in range(2):
         m = trainer.step(real, key=jax.random.PRNGKey(100 + i))
-        assert all(np.isfinite(v) for v in m.values()), m
+        assert all(np.isfinite(float(v)) for v in m.values()), m
         hist.append(jax.tree.map(np.asarray, trainer.g_params))
     # step 0 hits both lazy regularizers (cadence 2)
     assert {"d_loss", "g_loss", "r1", "path", "path_length"} <= set(

@@ -160,6 +160,8 @@ def main(argv=None):
         real = jnp.asarray(bank.sample(rng, args.batch))
         m = trainer.step(real)
         if step % 10 == 0:
+            # metrics are device scalars — only the logging cadence syncs
+            m = {k: float(v) for k, v in m.items()}
             rate = args.batch * (step - start + 1) / (time.time() - t0)
             print(f"[{step}] " + " ".join(
                 f"{k}={v:.4f}" for k, v in m.items())

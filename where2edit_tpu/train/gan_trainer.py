@@ -295,7 +295,10 @@ class GANTrainer:
     def step(self, real, key: Optional[jax.Array] = None) -> dict:
         """One full training iteration (D step, lazy R1, G step, lazy path
         reg, EMA). ``real``: (batch, size, size, 3) in [-1, 1]. Returns the
-        scalar metrics of whatever ran this iteration."""
+        scalar metrics of whatever ran this iteration as DEVICE scalars —
+        convert with float() only when logging, so the host loop keeps
+        dispatching ahead of the device (a per-step sync costs a full
+        round-trip on remote-dispatch backends)."""
         cfg = self.cfg
         if key is None:
             key = jax.random.PRNGKey(cfg.seed + self.global_step + 1)
@@ -326,7 +329,7 @@ class GANTrainer:
         self.g_ema_params = self._ema_step(self.g_ema_params, self.g_params,
                                            self.ema_beta)
         self.global_step += 1
-        return {k: float(v) for k, v in metrics.items()}
+        return metrics
 
     def ema_generator_variables(self) -> dict:
         """Variables dict for sampling from the EMA generator."""
