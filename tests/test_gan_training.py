@@ -240,3 +240,96 @@ def test_image_bank_backings(tmp_path):
     assert len(bank) == 3
     out = bank.sample(rng, 2)
     assert out.shape == (2, 8, 8, 3)
+
+
+# ----------------------------------------------------------- async pipeline
+
+def test_prefetch_loader_matches_sync_sampling():
+    """With hflip off, the loader's stream is bit-identical to the
+    synchronous bank.sample loop drawing from the same Generator state."""
+    from where2edit_tpu.train.loader import PrefetchLoader
+
+    imgs = np.random.default_rng(0).uniform(
+        -1, 1, (10, 8, 8, 3)).astype(np.float32)
+    from where2edit_tpu.train.datasets import ImageBank
+
+    sync_rng = np.random.default_rng(7)
+    want = [ImageBank(images=imgs).sample(sync_rng, 3) for _ in range(4)]
+    with PrefetchLoader(ImageBank(images=imgs), 3,
+                        rng=np.random.default_rng(7), workers=2,
+                        prefetch=2, device_put=False) as loader:
+        got = [next(loader) for _ in range(4)]
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_prefetch_loader_hflip_and_device_put():
+    """hflip leaves the index stream intact and flips exactly the coined
+    rows along width; device_put batches come back as jax Arrays."""
+    from where2edit_tpu.train.datasets import ImageBank
+    from where2edit_tpu.train.loader import PrefetchLoader
+
+    imgs = np.random.default_rng(1).uniform(
+        -1, 1, (6, 8, 8, 3)).astype(np.float32)
+    bank = ImageBank(images=imgs)
+    batch, n_batches = 4, 8
+    sync_rng = np.random.default_rng(3)
+    plain = [bank.sample(sync_rng, batch) for _ in range(n_batches)]
+    with PrefetchLoader(bank, batch, rng=np.random.default_rng(3),
+                        workers=2, prefetch=2, hflip=True,
+                        flip_seed=11) as loader:
+        flipped = [np.asarray(next(loader)) for _ in range(n_batches)]
+    coins = np.random.default_rng(11).random((n_batches, batch)) < 0.5
+    assert coins.any() and (~coins).any()  # both cases exercised
+    for p, f, c in zip(plain, flipped, coins):
+        np.testing.assert_array_equal(f[~c], p[~c])
+        np.testing.assert_array_equal(f[c], p[c][:, :, ::-1, :])
+
+    with PrefetchLoader(bank, 2, rng=np.random.default_rng(0),
+                        workers=1, prefetch=1) as loader:
+        assert isinstance(next(loader), jax.Array)
+
+
+def test_prefetch_loader_propagates_decode_errors():
+    from where2edit_tpu.train.datasets import ImageBank
+    from where2edit_tpu.train.loader import PrefetchLoader
+
+    bank = ImageBank(paths=["/nonexistent/img.png"] * 4, size=8)
+    with PrefetchLoader(bank, 2, rng=np.random.default_rng(0),
+                        workers=1, prefetch=1,
+                        device_put=False) as loader:
+        with pytest.raises(FileNotFoundError):
+            next(loader)
+
+
+def test_train_stylegan_cli_async_loader(tmp_path):
+    """CLI end-to-end through the prefetching pipeline with hflip."""
+    from where2edit_tpu.cli.train_stylegan import main
+
+    final = main([
+        "--synthetic", "8", "--size", str(SIZE),
+        "--channel_multiplier", str(CM), "--batch", "4", "--iter", "3",
+        "--d_reg_every", "2", "--g_reg_every", "2", "--sample_every", "0",
+        "--save_every", "0", "--workers", "2", "--prefetch", "2", "--hflip",
+        "--results_dir", str(tmp_path / "gan_async")])
+    assert os.path.isdir(final)
+
+
+@pytest.mark.slow
+def test_train_stylegan_cli_fid(tmp_path):
+    """--fid_every wires CLIP-FID over the EMA generator into the loop and
+    logs it; identical distributions would give ~0, random ones don't."""
+    from where2edit_tpu.cli.train_stylegan import main
+    from where2edit_tpu.utils.logging import read_scalars
+
+    results = tmp_path / "gan_fid"
+    main([
+        "--synthetic", "8", "--size", str(SIZE),
+        "--channel_multiplier", str(CM), "--batch", "4", "--iter", "2",
+        "--d_reg_every", "2", "--g_reg_every", "2", "--sample_every", "0",
+        "--save_every", "0", "--fid_every", "2", "--fid_n", "4",
+        "--fid_batch", "4", "--results_dir", str(results)])
+    rows = [r for r in read_scalars(str(results / "logs"))
+            if r["tag"] == "eval/fid"]
+    assert len(rows) == 1 and rows[0]["step"] == 2
+    assert np.isfinite(rows[0]["value"]) and rows[0]["value"] > 0.0

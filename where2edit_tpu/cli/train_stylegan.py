@@ -27,6 +27,39 @@ from where2edit_tpu.utils.logging import MetricsWriter
 from where2edit_tpu.utils.seed import set_random_seed
 
 
+def _build_fid_extract(args):
+    """Feature extractor for the periodic FID gate: InceptionV3 pool3 when
+    a torch checkpoint is given (standard FID), else CLIP image features
+    (CLIP-FID — meaningful with real CLIP weights; with none given the
+    random-weight run is mechanically valid but only tracks relative drift).
+    """
+    if args.inception_ckpt:
+        from where2edit_tpu.cli.common import load_torch_state  # noqa: PLC0415
+        from where2edit_tpu.convert.inception import (  # noqa: PLC0415
+            convert_inception_params,
+        )
+        from where2edit_tpu.models.inception import InceptionV3  # noqa: PLC0415
+        from where2edit_tpu.ops.interpolate import (  # noqa: PLC0415
+            interpolate_bilinear,
+        )
+
+        inc = InceptionV3()
+        ivars = jax.tree.map(jnp.asarray, convert_inception_params(
+            load_torch_state(args.inception_ckpt)))
+        inc_apply = jax.jit(lambda x: inc.apply(ivars, x)[0])
+        return lambda img: inc_apply(
+            interpolate_bilinear((img + 1) / 2, 299, align_corners=False))
+
+    from where2edit_tpu.cli.run_attention import load_clip  # noqa: PLC0415
+    from where2edit_tpu.losses.clip_loss import CLIPLoss  # noqa: PLC0415
+
+    clip_model, clip_vars = load_clip(args.clip_ckpt)
+    if not args.clip_ckpt:
+        print("[fid] no --inception_ckpt/--clip_ckpt: CLIP-FID with random "
+              "weights (relative tracking only)")
+    return CLIPLoss(clip_model, clip_vars, args.size).encode_image
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", type=str, default=None,
@@ -48,6 +81,25 @@ def main(argv=None):
     p.add_argument("--path_batch_shrink", type=int, default=2)
     p.add_argument("--mixing", type=float, default=0.9)
     p.add_argument("--ema_kimg", type=float, default=10.0)
+    p.add_argument("--workers", type=int, default=0,
+                   help="decode threads for the async real-image pipeline; "
+                        "0 = synchronous per-step loading")
+    p.add_argument("--prefetch", type=int, default=3,
+                   help="batches kept in flight by the async pipeline")
+    p.add_argument("--hflip", action="store_true",
+                   help="random horizontal-flip augmentation on reals")
+    p.add_argument("--fid_every", type=int, default=0,
+                   help="compute FID of the EMA generator every N steps "
+                        "(0 disables)")
+    p.add_argument("--fid_n", type=int, default=1000,
+                   help="samples per side of the FID estimate")
+    p.add_argument("--fid_batch", type=int, default=0,
+                   help="generation/extraction batch for FID (0 = --batch)")
+    p.add_argument("--inception_ckpt", type=str, default=None,
+                   help="torch InceptionV3 checkpoint for standard FID")
+    p.add_argument("--clip_ckpt", type=str, default=None,
+                   help="CLIP checkpoint for CLIP-FID (used when no "
+                        "--inception_ckpt; random weights if omitted)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 synthesis compute (losses/regularizers fp32)")
     p.add_argument("--remat", action="store_true",
@@ -120,6 +172,8 @@ def main(argv=None):
         trainer.g_params = tree["g"]
         trainer.d_params = tree["d"]
         trainer.g_ema_params = tree["g_ema"]
+        if "g_noises" in tree:
+            trainer.g_vars["noises"] = tree["g_noises"]
         trainer.pl_mean = jnp.asarray(tree["pl_mean"])
         start = int(tree.get("step", 0))
         trainer.global_step = start
@@ -142,6 +196,44 @@ def main(argv=None):
     sample_fn = jax.jit(lambda gv, z: trainer.generator.apply(
         gv, [z], randomize_noise=False).image)
 
+    loader = None
+    if args.workers > 0 or args.hflip:
+        from where2edit_tpu.train.loader import PrefetchLoader  # noqa: PLC0415
+
+        loader = PrefetchLoader(
+            bank, args.batch, rng=rng, workers=max(args.workers, 1),
+            prefetch=args.prefetch, hflip=args.hflip,
+            flip_seed=args.seed + 5, sharding=trainer.real_sharding())
+        print(f"[loader] async pipeline: {max(args.workers, 1)} decode "
+              f"threads, {args.prefetch} batches in flight"
+              + (", hflip" if args.hflip else ""))
+
+    fid_state = None
+    if args.fid_every:
+        fid_extract = _build_fid_extract(args)
+        fb = args.fid_batch or args.batch
+        n = max(((args.fid_n + fb - 1) // fb) * fb, fb)  # multiple of fb
+        fid_rng = np.random.default_rng(args.seed + 3)
+        real_feats = np.concatenate([
+            np.asarray(fid_extract(jnp.asarray(bank.sample(fid_rng, fb))))
+            for _ in range(n // fb)], 0)
+        # fixed z pool: successive FID evals differ only through the EMA
+        # weights, so the curve tracks training, not sampling noise
+        fid_z = np.random.default_rng(args.seed + 4).standard_normal(
+            (n, 512)).astype(np.float32)
+        fid_state = (fid_extract, real_feats, fid_z, fb)
+
+    def fid_eval() -> float:
+        from where2edit_tpu.eval.metrics import frechet_distance  # noqa: PLC0415
+
+        extract, real_feats, fid_z, fb = fid_state
+        ema_vars = trainer.ema_generator_variables()
+        feats = np.concatenate([
+            np.asarray(extract(sample_fn(ema_vars,
+                                         jnp.asarray(fid_z[i:i + fb]))))
+            for i in range(0, len(fid_z), fb)], 0)
+        return frechet_distance(real_feats, feats)
+
     def checkpoint(step: int):
         from flax import serialization  # noqa: PLC0415
 
@@ -149,6 +241,7 @@ def main(argv=None):
         save_checkpoint(path, {
             "g": trainer.g_params, "d": trainer.d_params,
             "g_ema": trainer.g_ema_params,
+            "g_noises": trainer.g_vars.get("noises", {}),
             "g_opt": serialization.to_state_dict(trainer.g_opt_state),
             "d_opt": serialization.to_state_dict(trainer.d_opt_state),
             "pl_mean": trainer.pl_mean, "step": step,
@@ -156,26 +249,37 @@ def main(argv=None):
         return path
 
     t0 = time.time()
-    for step in range(start, args.iter):
-        real = jnp.asarray(bank.sample(rng, args.batch))
-        m = trainer.step(real)
-        if step % 10 == 0:
-            # metrics are device scalars — only the logging cadence syncs
-            m = {k: float(v) for k, v in m.items()}
-            rate = args.batch * (step - start + 1) / (time.time() - t0)
-            print(f"[{step}] " + " ".join(
-                f"{k}={v:.4f}" for k, v in m.items())
-                + f" ({rate:.1f} imgs/s)")
-            for k, v in m.items():
-                metrics_writer.add_scalar(f"train/{k}", v, step)
-        if args.sample_every and (step + 1) % args.sample_every == 0:
-            img = sample_fn(trainer.ema_generator_variables(), sample_z)
-            save_image_grid(
-                np.asarray(img, np.float32),
-                os.path.join(args.results_dir, f"sample_{step + 1:07d}.jpg"),
-                nrow=int(round(args.n_sample ** 0.5)) or 1, scale_each=True)
-        if args.save_every and (step + 1) % args.save_every == 0:
-            print(f"checkpoint → {checkpoint(step + 1)}")
+    try:
+        for step in range(start, args.iter):
+            real = (next(loader) if loader is not None
+                    else jnp.asarray(bank.sample(rng, args.batch)))
+            m = trainer.step(real)
+            if step % 10 == 0:
+                # metrics are device scalars — only the logging cadence syncs
+                m = {k: float(v) for k, v in m.items()}
+                rate = args.batch * (step - start + 1) / (time.time() - t0)
+                print(f"[{step}] " + " ".join(
+                    f"{k}={v:.4f}" for k, v in m.items())
+                    + f" ({rate:.1f} imgs/s)")
+                for k, v in m.items():
+                    metrics_writer.add_scalar(f"train/{k}", v, step)
+            if args.fid_every and (step + 1) % args.fid_every == 0:
+                fid = fid_eval()
+                print(f"[{step + 1}] fid={fid:.3f}")
+                metrics_writer.add_scalar("eval/fid", fid, step + 1)
+            if args.sample_every and (step + 1) % args.sample_every == 0:
+                img = sample_fn(trainer.ema_generator_variables(), sample_z)
+                save_image_grid(
+                    np.asarray(img, np.float32),
+                    os.path.join(args.results_dir,
+                                 f"sample_{step + 1:07d}.jpg"),
+                    nrow=int(round(args.n_sample ** 0.5)) or 1,
+                    scale_each=True)
+            if args.save_every and (step + 1) % args.save_every == 0:
+                print(f"checkpoint → {checkpoint(step + 1)}")
+    finally:
+        if loader is not None:
+            loader.close()
     final = checkpoint(args.iter)
     print(f"final checkpoint → {final}")
     return final

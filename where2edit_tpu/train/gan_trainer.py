@@ -171,6 +171,17 @@ class GANTrainer:
         self.global_step = 0
 
     # -------------------------------------------------------------- plumbing
+    def real_sharding(self):
+        """NamedSharding for pre-placing real batches on the data mesh
+        (None off-mesh) — hand this to the async loader so batches land
+        already distributed instead of relaying out inside the step."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+        return NamedSharding(self.mesh,
+                             PartitionSpec("data", None, None, None))
+
     def _shard_batchdim(self, x):
         """Sharding-constrain the leading (batch) dim over 'data'."""
         if self.mesh is None:

@@ -54,3 +54,17 @@ class MetricsWriter:
     def close(self):
         if self._tb is not None:
             self._tb.close()
+
+
+def read_scalars(log_dir: str) -> list:
+    """Parse the metrics.jsonl rows a MetricsWriter produced — the
+    programmatic consumer for dashboards/tests (tensorboard optional)."""
+    import os  # noqa: PLC0415
+
+    rows = []
+    with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
