@@ -6,6 +6,12 @@ matrix sqrt, no scipy/torch-fidelity dependency) over features from any
 extractor — the canonical choice is an InceptionV3 checkpoint via the
 converter, or CLIP image features ("CLIP-FID") when inception weights are
 not available.
+
+Numerics are value-pinned in tests/test_metrics_pinning.py: the matrix sqrt
+is cross-checked against scipy.linalg.sqrtm, FID against the closed-form
+Gaussian value on constructed exact sample statistics, and IS against exact
+hand-computable distributions (uniform → 1, balanced one-hot → C,
+two-class → exp(log 2 − H(p))).
 """
 
 from __future__ import annotations
