@@ -49,6 +49,21 @@ def main(argv=None):
     if not size:
         raise SystemExit("--size required (checkpoint has no saved opts)")
 
+    def fallback_noises(seed: int) -> dict:
+        """Seeded Gaussian noise buffers for checkpoints that predate noise
+        storage. The reference initializes its buffers with torch.randn
+        (models/stylegan2/model.py Generator.__init__ `noises` registration),
+        so an export with zeros would make reference-side
+        randomize_noise=False synthesis silently noise-free; N(0,1) matches
+        the distribution the reference would otherwise have."""
+        import math  # noqa: PLC0415
+
+        n_layers = (int(math.log2(size)) - 2) * 2 + 1
+        nrng = np.random.default_rng(seed)
+        return {f"noise_{i}": nrng.standard_normal(
+            (1, 2 ** ((i + 5) // 2), 2 ** ((i + 5) // 2), 1)
+        ).astype(np.float32) for i in range(n_layers)}
+
     def as_torch(sd: dict) -> dict:
         return {k: torch.from_numpy(np.asarray(v, np.float32))
                 for k, v in sd.items()}
@@ -57,8 +72,10 @@ def main(argv=None):
     if "g_ema" in tree:  # GAN-trainer checkpoint
         noises = tree.get("g_noises", {})
         if not noises:
-            print("[export] checkpoint has no stored noises; emitting zero "
-                  "noise buffers (affects stored-noise synthesis only)")
+            print("[export] checkpoint has no stored noises; synthesizing "
+                  f"seeded N(0,1) buffers (--seed {args.seed}) to match the "
+                  "reference's torch.randn init")
+            noises = fallback_noises(args.seed)
         for name in ("g", "g_ema"):
             out[name] = as_torch(export_generator_state(
                 {"params": tree[name], "noises": noises}, size))
@@ -66,8 +83,14 @@ def main(argv=None):
             out["d"] = as_torch(export_discriminator_state(tree["d"], size))
         g_params, g_noises = tree["g_ema"], noises
     elif "params" in tree:  # plain generator variables
-        out["g_ema"] = as_torch(export_generator_state(tree, size))
-        g_params, g_noises = tree["params"], tree.get("noises", {})
+        noises = tree.get("noises", {})
+        if not noises:
+            print("[export] checkpoint has no stored noises; synthesizing "
+                  f"seeded N(0,1) buffers (--seed {args.seed})")
+            noises = fallback_noises(args.seed)
+        out["g_ema"] = as_torch(export_generator_state(
+            {"params": tree["params"], "noises": noises}, size))
+        g_params, g_noises = tree["params"], noises
     else:
         raise SystemExit(f"unrecognized checkpoint tree keys: "
                          f"{sorted(tree.keys())[:8]}")
@@ -81,14 +104,8 @@ def main(argv=None):
         cm = int((opts or {}).get("channel_multiplier", 2))
         gen = Generator(size=size, channel_multiplier=cm)
         if not g_noises:  # setup() materializes the noises collection even
-            # on the mapping-only path, so give it (zero) buffers
-            import math  # noqa: PLC0415
-
-            n_layers = (int(math.log2(size)) - 2) * 2 + 1
-            g_noises = {
-                f"noise_{i}": np.zeros(
-                    (1, 2 ** ((i + 5) // 2), 2 ** ((i + 5) // 2), 1),
-                    np.float32) for i in range(n_layers)}
+            # on the mapping-only path (mapping doesn't read them)
+            g_noises = fallback_noises(args.seed)
         z = jax.random.normal(jax.random.PRNGKey(args.seed),
                               (args.with_latent_avg, gen.style_dim))
         w = gen.apply({"params": jax.tree.map(jnp.asarray, g_params),

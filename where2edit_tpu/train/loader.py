@@ -50,7 +50,11 @@ class PrefetchLoader:
         self.batch = batch
         self.rng = rng
         self.hflip = hflip
-        self.flip_rng = np.random.default_rng(flip_seed)
+        # flip_seed: int seed, or an already-positioned Generator (used by
+        # cli/train_stylegan.py --resume to continue the flip stream)
+        self.flip_rng = (flip_seed if isinstance(flip_seed,
+                                                 np.random.Generator)
+                         else np.random.default_rng(flip_seed))
         self.sharding = sharding
         self.device_put = device_put
         self._pool = ThreadPoolExecutor(max_workers=workers,
@@ -100,8 +104,19 @@ class PrefetchLoader:
 
     def __next__(self):
         while True:
+            # valid prefetched batches drain before any stored producer
+            # error surfaces (they were produced before the failure)
+            try:
+                return self._queue.get_nowait()
+            except queue.Empty:
+                pass
             if self._error is not None:
-                raise self._error
+                # fresh wrapper per raise: re-raising the stored exception
+                # object would accrete traceback frames across calls
+                raise RuntimeError(
+                    f"PrefetchLoader producer failed: "
+                    f"{type(self._error).__name__}: {self._error}"
+                ) from self._error
             try:
                 return self._queue.get(timeout=0.1)
             except queue.Empty:
