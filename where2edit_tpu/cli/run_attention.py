@@ -308,11 +308,12 @@ def main(argv=None):
     if centers is not None:
         mvars["clusters"] = {"initial_state": jnp.asarray(centers)}
 
+    resume_tree = None
     if args.resume:
         from where2edit_tpu.train.checkpoints import load_checkpoint  # noqa: PLC0415
 
-        tree, _ = load_checkpoint(args.resume)
-        mvars["params"] = jax.tree.map(jnp.asarray, tree["mapper"])
+        resume_tree, _ = load_checkpoint(args.resume)
+        mvars["params"] = jax.tree.map(jnp.asarray, resume_tree["mapper"])
         print(f"resumed mapper from {args.resume}")
 
     def encode_image(loss_vars, img):
@@ -338,6 +339,17 @@ def main(argv=None):
                                 if k_ not in ("params",)},
         loss_variables={"clip": clip_vars, "vgg": vgg_vars},
         mesh=mesh, latent_bank=latent_bank, text_bank=text_bank)
+
+    start_step = 0
+    if resume_tree is not None and "opt_state" in resume_tree:
+        # full resume: optimizer state + step counter (checkpoints written
+        # by this CLI carry them; bare mapper trees resume params-only)
+        from flax import serialization  # noqa: PLC0415
+
+        trainer.opt_state = serialization.from_state_dict(
+            trainer.opt_state, resume_tree["opt_state"])
+        start_step = int(resume_tree.get("step", 0))
+        print(f"restored optimizer state; continuing at step {start_step}")
 
     # region-prompt bank: CLIP-encode all fixed prompts ONCE; the jitted
     # step re-samples one per step + row-0 broadcast, so a trained run sees
@@ -419,6 +431,16 @@ def main(argv=None):
     video_path = os.path.join(output_dir, "video.txt")
     video_f = open(video_path, "w")
 
+    def snapshot_tree(step: int) -> dict:
+        """Checkpoint tree carrying everything a bit-exact resume needs
+        (params + extra collections + optimizer state + step)."""
+        from flax import serialization  # noqa: PLC0415
+
+        return {"mapper": trainer.mapper_params,
+                **trainer.mapper_variables_extra,
+                "opt_state": serialization.to_state_dict(trainer.opt_state),
+                "step": step}
+
     def callback(i, scal, img, amap):
         for name, v in scal.items():
             metrics.add_scalar(f"loss/{name}", v, i)
@@ -426,9 +448,7 @@ def main(argv=None):
                 and (i + 1) % args.save_intermediate_image_every == 0):
             save_checkpoint(
                 os.path.join(output_dir, f"{i + 1:05d}_mapper"),
-                {"mapper": trainer.mapper_params,
-                 **trainer.mapper_variables_extra},
-                opts=vars(args))
+                snapshot_tree(i + 1), opts=vars(args))
             if own_text_feats is not None:
                 # periodic own-phrase eval grid (run_attention.py:1436-1474):
                 # one row per phrase, fixed eval face — phrases render at
@@ -450,12 +470,35 @@ def main(argv=None):
         print(f"step {i}: " + "; ".join(f"{k_}={v:.4f}"
                                         for k_, v in scal.items()))
 
-    trainer.run(att_bank, log_every=1, callback=callback)
+    # preemption safety (SURVEY.md §5: the reference has none): SIGTERM
+    # requests a stop at the next step boundary; an atomic snapshot with
+    # optimizer state + step is written so --resume continues bit-exact
+    # (tests/test_preemption.py)
+    import signal  # noqa: PLC0415
+
+    stop = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop["flag"] = True
+        print("[preempt] SIGTERM — snapshotting at the next step boundary")
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    try:
+        trainer.run(att_bank, log_every=1, callback=callback,
+                    start_step=start_step, stop_fn=lambda: stop["flag"])
+    finally:
+        signal.signal(signal.SIGTERM, prev_handler)
     video_f.close()
 
+    if stop["flag"]:
+        path = os.path.join(output_dir, "preempt_mapper")
+        save_checkpoint(path, snapshot_tree(trainer.steps_completed),
+                        opts=vars(args))
+        print(f"[preempt] snapshot at step {trainer.steps_completed} → {path}")
+        return output_dir
+
     save_checkpoint(os.path.join(output_dir, "final_mapper"),
-                    {"mapper": trainer.mapper_params,
-                     **trainer.mapper_variables_extra}, opts=vars(args))
+                    snapshot_tree(trainer.steps_completed), opts=vars(args))
 
     if own_text_feats is not None:
         # final sweep (run_attention.py:1481-1537): originals row + one row

@@ -140,6 +140,7 @@ class AttentionTrainer:
         schedule = styleclip_lr_schedule(cfg.lr, cfg.step)
         self.opt = optax.adam(learning_rate=schedule)
         self.opt_state = self.opt.init(mapper_params)
+        self.steps_completed = 0
         self.freeze_mask = _attention_param_mask(mapper_params)
         self._jit_step = jax.jit(self._step)
 
@@ -349,7 +350,8 @@ class AttentionTrainer:
     # ------------------------------------------------------------------ run
     def run(self, attention_text_bank: jnp.ndarray,
             log_every: int = 10, callback: Optional[Callable] = None,
-            nan_guard: bool = True):
+            nan_guard: bool = True, start_step: int = 0,
+            stop_fn: Optional[Callable[[], bool]] = None):
         """Training loop with basic failure detection (SURVEY.md §5: the
         reference has none): on a non-finite loss the step is rejected, the
         params roll back to the last finite state, and after 3 consecutive
@@ -358,12 +360,25 @@ class AttentionTrainer:
         ``attention_text_bank``: (K, D) CLIP encodings of the region prompts;
         each step samples one per batch item inside the jitted step (see
         ``_step``).
+
+        ``start_step``: resume point — the per-step RNG stream is
+        fast-forwarded so a resumed run continues the exact key sequence an
+        uninterrupted run would see (bit-exact resume given restored
+        params/opt_state; tests/test_preemption.py).
+        ``stop_fn``: polled before each step; returning True ends the loop
+        early (SIGTERM-driven preemption snapshots in the CLIs). The number
+        of completed steps is left in ``self.steps_completed``.
         """
         key = jax.random.PRNGKey(self.cfg.seed)
+        for _ in range(start_step):
+            key, _ = jax.random.split(key)
         history = []
         last_good = (self.mapper_params, self.opt_state)
         bad_streak = 0
-        for i in range(self.cfg.step):
+        self.steps_completed = start_step
+        for i in range(start_step, self.cfg.step):
+            if stop_fn is not None and stop_fn():
+                break
             key, k = jax.random.split(key)
             new_params, new_opt, aux, img, amap = self.step_fn(
                 self.mapper_params, self.opt_state, jnp.asarray(float(i)), k,
@@ -382,6 +397,7 @@ class AttentionTrainer:
                 bad_streak = 0
                 last_good = (new_params, new_opt)
             self.mapper_params, self.opt_state = new_params, new_opt
+            self.steps_completed = i + 1
             if i % log_every == 0 or i == self.cfg.step - 1:
                 scal = {name: float(v) for name, v in aux.items()}
                 history.append((i, scal))

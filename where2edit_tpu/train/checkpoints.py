@@ -21,22 +21,45 @@ def _to_numpy_tree(tree):
 
 
 def save_checkpoint(path: str, tree: Any, opts: Optional[dict] = None) -> None:
-    """Save a pytree (+opts json) to ``path`` (directory)."""
-    os.makedirs(path, exist_ok=True)
+    """Save a pytree (+opts json) to ``path`` (directory).
+
+    Atomic: the tree is staged into a sibling temp directory and renamed
+    into place, so a writer killed mid-save (preemption, SIGTERM) never
+    leaves a half-written checkpoint at ``path`` — a directory there is
+    always complete and loadable (the CLI preemption snapshots rely on
+    this; see tests/test_preemption.py).
+    """
+    import shutil  # noqa: PLC0415
+
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     try:
         import orbax.checkpoint as ocp  # noqa: PLC0415
 
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(os.path.join(path, "state"), _to_numpy_tree(tree),
+        ckptr.save(os.path.join(tmp, "state"), _to_numpy_tree(tree),
                    force=True)
     except Exception:
         from flax import serialization  # noqa: PLC0415
 
-        with open(os.path.join(path, "state.msgpack"), "wb") as f:
+        with open(os.path.join(tmp, "state.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(_to_numpy_tree(tree)))
     if opts is not None:
-        with open(os.path.join(path, "opts.json"), "w") as f:
+        with open(os.path.join(tmp, "opts.json"), "w") as f:
             json.dump(opts, f, indent=2, default=str)
+    old = None
+    if os.path.exists(path):  # rename can't clobber a non-empty dir
+        old = f"{path}.old-{os.getpid()}"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if old is not None:
+        shutil.rmtree(old)
 
 
 def load_checkpoint(path: str, target: Any = None):
