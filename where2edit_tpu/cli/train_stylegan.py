@@ -104,6 +104,21 @@ def main(argv=None):
                    help="bf16 synthesis compute (losses/regularizers fp32)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the generator pass in g_step")
+    p.add_argument("--d_bf16", action="store_true",
+                   help="bf16 discriminator tower (stddev/losses fp32); "
+                        "with --d_remat lifts the 1024² batch ceiling")
+    p.add_argument("--d_remat", action="store_true",
+                   help="jax.checkpoint each discriminator ResBlock")
+    p.add_argument("--d_microbatch", type=int, default=0,
+                   help="accumulate D grads over scan chunks of N samples "
+                        "(single-chip batch>4 at 1024² needs 4; per-chunk "
+                        "minibatch-stddev = the reference's per-GPU DDP)")
+    p.add_argument("--g_microbatch", type=int, default=0,
+                   help="same scan-chunk accumulation for the G step "
+                        "(single-chip batch 16 at 1024²)")
+    p.add_argument("--d_s2d_octaves", type=int, default=0,
+                   help="space-to-depth the D tower's first N octaves "
+                        "(exact; fills MXU lanes at full res)")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel over an N-device 'data' mesh "
                         "(-1 = all devices)")
@@ -154,7 +169,10 @@ def main(argv=None):
         path_regularize=args.path_regularize,
         path_batch_shrink=args.path_batch_shrink, mixing=args.mixing,
         ema_kimg=args.ema_kimg, channel_multiplier=args.channel_multiplier,
-        bf16=args.bf16, remat=args.remat, seed=args.seed)
+        bf16=args.bf16, remat=args.remat, d_bf16=args.d_bf16,
+        d_remat=args.d_remat, d_microbatch=args.d_microbatch,
+        g_microbatch=args.g_microbatch,
+        d_s2d_octaves=args.d_s2d_octaves, seed=args.seed)
 
     g_vars = None
     if args.ckpt:
@@ -172,7 +190,7 @@ def main(argv=None):
         trainer.g_params = tree["g"]
         trainer.d_params = tree["d"]
         trainer.g_ema_params = tree["g_ema"]
-        if "g_noises" in tree:
+        if tree.get("g_noises"):  # empty pytree node ⇒ keep the fresh init
             trainer.g_vars["noises"] = tree["g_noises"]
         trainer.pl_mean = jnp.asarray(tree["pl_mean"])
         start = int(tree.get("step", 0))
@@ -190,6 +208,16 @@ def main(argv=None):
     os.makedirs(args.results_dir, exist_ok=True)
     metrics_writer = MetricsWriter(os.path.join(args.results_dir, "logs"))
     rng = np.random.default_rng(args.seed + 1)
+    flip_rng = np.random.default_rng(args.seed + 5)
+    if start:
+        # fast-forward the data-stream RNGs so a resumed run continues the
+        # index/flip sequence an uninterrupted run would see, instead of
+        # replaying the first `start` batches (one integers() + one random()
+        # call per batch — exactly what bank.sample/PrefetchLoader draw)
+        for _ in range(start):
+            rng.integers(0, len(bank), size=args.batch)
+            if args.hflip:
+                flip_rng.random(args.batch)
     sample_z = jnp.asarray(
         np.random.default_rng(args.seed + 2).standard_normal(
             (args.n_sample, 512), dtype=np.float32))
@@ -203,7 +231,7 @@ def main(argv=None):
         loader = PrefetchLoader(
             bank, args.batch, rng=rng, workers=max(args.workers, 1),
             prefetch=args.prefetch, hflip=args.hflip,
-            flip_seed=args.seed + 5, sharding=trainer.real_sharding())
+            flip_seed=flip_rng, sharding=trainer.real_sharding())
         print(f"[loader] async pipeline: {max(args.workers, 1)} decode "
               f"threads, {args.prefetch} batches in flight"
               + (", hflip" if args.hflip else ""))
@@ -214,8 +242,19 @@ def main(argv=None):
         fb = args.fid_batch or args.batch
         n = max(((args.fid_n + fb - 1) // fb) * fb, fb)  # multiple of fb
         fid_rng = np.random.default_rng(args.seed + 3)
+
+        def real_batch():
+            # mirror the training distribution: with --hflip the reals the
+            # discriminator sees include flips, so the FID real pool must too
+            arr = bank.sample(fid_rng, fb)
+            if args.hflip:
+                coins = fid_rng.random(fb) < 0.5
+                arr = arr.copy()
+                arr[coins] = arr[coins][:, :, ::-1, :]
+            return arr
+
         real_feats = np.concatenate([
-            np.asarray(fid_extract(jnp.asarray(bank.sample(fid_rng, fb))))
+            np.asarray(fid_extract(jnp.asarray(real_batch())))
             for _ in range(n // fb)], 0)
         # fixed z pool: successive FID evals differ only through the EMA
         # weights, so the curve tracks training, not sampling noise
@@ -238,19 +277,40 @@ def main(argv=None):
         from flax import serialization  # noqa: PLC0415
 
         path = os.path.join(args.results_dir, f"ckpt_{step:07d}")
-        save_checkpoint(path, {
+        tree = {
             "g": trainer.g_params, "d": trainer.d_params,
             "g_ema": trainer.g_ema_params,
-            "g_noises": trainer.g_vars.get("noises", {}),
             "g_opt": serialization.to_state_dict(trainer.g_opt_state),
             "d_opt": serialization.to_state_dict(trainer.d_opt_state),
             "pl_mean": trainer.pl_mean, "step": step,
-        }, opts=vars(args))
+        }
+        if trainer.g_vars.get("noises"):  # omit when empty — orbax can
+            # mishandle an empty pytree node, and resume would then install
+            # an empty noises collection that breaks generator.apply
+            tree["g_noises"] = trainer.g_vars["noises"]
+        save_checkpoint(path, tree, opts=vars(args))
         return path
+
+    # preemption safety: SIGTERM checkpoints at the next step boundary and
+    # exits cleanly; --resume then continues bit-exact (the per-step RNG key
+    # is PRNGKey(seed + step + 1) and the data-stream RNGs fast-forward
+    # above) — tests/test_preemption.py
+    import signal  # noqa: PLC0415
+
+    stop = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop["flag"] = True
+        print("[preempt] SIGTERM — checkpointing at the next step boundary")
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
 
     t0 = time.time()
     try:
         for step in range(start, args.iter):
+            if stop["flag"]:
+                print(f"[preempt] checkpoint → {checkpoint(step)}")
+                return None
             real = (next(loader) if loader is not None
                     else jnp.asarray(bank.sample(rng, args.batch)))
             m = trainer.step(real)
