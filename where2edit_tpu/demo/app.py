@@ -85,6 +85,27 @@ def load_session(args):
     return session, closs
 
 
+def load_psp(args):
+    """e4e encoder for Real-mode inversion (None when no --e4e_ckpt)."""
+    if not getattr(args, "e4e_ckpt", None):
+        return None
+    from where2edit_tpu.cli.common import load_torch_state
+    from where2edit_tpu.models.psp import PSp
+
+    return PSp.from_torch_checkpoint(load_torch_state(args.e4e_ckpt),
+                                     stylegan_size=args.stylegan_size)
+
+
+def load_gallery(args, session, psp=None):
+    """Provided-celebs gallery (try_demo.py:61-67 Real-mode default)."""
+    from where2edit_tpu.demo.gallery import CelebGallery
+
+    return CelebGallery(
+        session, celebs_path=getattr(args, "celebs_path", None),
+        images_dir=getattr(args, "images_dir", None),
+        psp=psp if psp is not None else load_psp(args))
+
+
 def build_argparser():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", type=str,
@@ -96,6 +117,12 @@ def build_argparser():
     p.add_argument("--stylegan_size", type=int, default=1024)
     p.add_argument("--attention_layer", type=int, default=13)
     p.add_argument("--cluster_layer", type=int, default=13)
+    p.add_argument("--celebs_path", type=str, default=None,
+                   help="example_celebs.pt-style W+ latent pack for the "
+                        "provided-celebs gallery")
+    p.add_argument("--images_dir", type=str, default=None,
+                   help="directory of face images for the gallery "
+                        "(e4e-inverted on selection; needs --e4e_ckpt)")
     p.add_argument("--fp32", action="store_true",
                    help="disable the bf16 serving policy (PERF.md)")
     return p
@@ -118,9 +145,10 @@ def main():
 
     @st.cache_resource
     def _load():
-        return load_session(args)
+        session, closs = load_session(args)
+        return session, closs, load_gallery(args, session)
 
-    session, closs = _load()
+    session, closs, gallery = _load()
     st.title("Where You Edit is What You Get — TPU")
     mode = st.sidebar.radio("Source", ["Syn", "Real"])
     seed = st.sidebar.number_input("Seed", 0, 10_000, 0)
@@ -134,20 +162,21 @@ def main():
     if mode == "Syn":
         session.load_synthetic(jax.random.PRNGKey(int(seed)))
     else:
-        uploaded = st.file_uploader("Upload a face")
-        if uploaded and args.e4e_ckpt:
-            from PIL import Image
+        # try_demo.py:63-67 — provided images first, upload second
+        select = st.sidebar.radio("Use...", ["Provided celebs",
+                                             "Your own image"])
+        if select == "Provided celebs":
+            choose = st.sidebar.selectbox("Which is...", gallery.names())
+            gallery.load(choose)
+        else:
+            uploaded = st.file_uploader("Upload a face")
+            if uploaded and args.e4e_ckpt:
+                from PIL import Image
 
-            from where2edit_tpu.cli.common import load_torch_state
-            from where2edit_tpu.models.psp import PSp
-
-            img = Image.open(uploaded).convert("RGB").resize((256, 256))
-            x = (np.asarray(img, np.float32) / 127.5 - 1.0)[None]
-            psp = PSp.from_torch_checkpoint(
-                load_torch_state(args.e4e_ckpt),
-                stylegan_size=args.stylegan_size)
-            w = psp.encode(jnp.asarray(x))
-            session.load_latent(w)
+                img = Image.open(uploaded).convert("RGB").resize((256, 256))
+                x = (np.asarray(img, np.float32) / 127.5 - 1.0)[None]
+                w = load_psp(args).encode(jnp.asarray(x))
+                session.load_latent(w)
 
     if session.latent is not None and st.button("Edit"):
         toks = jnp.asarray(tokenize([prompt]))
