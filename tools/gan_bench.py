@@ -29,8 +29,14 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--d_bf16", action="store_true")
+    p.add_argument("--d_remat", action="store_true")
+    p.add_argument("--d_microbatch", type=int, default=0)
+    p.add_argument("--g_microbatch", type=int, default=0)
+    p.add_argument("--d_s2d", type=int, default=0)
     p.add_argument("--d_reg_every", type=int, default=16)
     p.add_argument("--g_reg_every", type=int, default=4)
+    p.add_argument("--path_batch_shrink", type=int, default=2)
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
 
@@ -47,8 +53,13 @@ def main():
 
     cfg = GANTrainConfig(size=args.size, batch_size=args.batch,
                          bf16=args.bf16, remat=args.remat,
+                         d_bf16=args.d_bf16, d_remat=args.d_remat,
+                         d_microbatch=args.d_microbatch,
+                         g_microbatch=args.g_microbatch,
+                         d_s2d_octaves=args.d_s2d,
                          d_reg_every=args.d_reg_every,
-                         g_reg_every=args.g_reg_every, seed=0)
+                         g_reg_every=args.g_reg_every,
+                         path_batch_shrink=args.path_batch_shrink, seed=0)
     t0 = time.time()
     tr = GANTrainer(cfg)
     print(f"init {time.time() - t0:.1f}s", flush=True)
@@ -75,9 +86,15 @@ def main():
         return dt
 
     # every step donates (params, opt_state) — reassign before re-calling
+    def synth_once():
+        return tr._synth_fake(tr.g_params, kd)
+
     def d_once():
+        # fake in its own program (r4 split: d_step no longer carries the
+        # generator graph); timed separately below, passed in here
+        fake = tr._synth_fake(tr.g_params, kd)
         tr.d_params, tr.d_opt_state, loss = tr._d_step(
-            tr.d_params, tr.d_opt_state, tr.g_params, real, kd)
+            tr.d_params, tr.d_opt_state, real, fake)
         return loss
 
     def r1_once():
@@ -109,7 +126,8 @@ def main():
                   f"{str(exc)[:160]}", flush=True)
             return None
 
-    t_d = try_timed("d_step", d_once)
+    t_synth = try_timed("synth_fake", synth_once)
+    t_d = try_timed("d_step(+synth)", d_once)
     t_r1 = try_timed("d_r1_step", r1_once)
     t_g = try_timed("g_step", g_once)
     t_pl = try_timed("g_path_step", pl_once)
@@ -123,11 +141,13 @@ def main():
         eff += t_r1 / args.d_reg_every
     if args.g_reg_every > 0 and t_pl is not None:
         eff += t_pl / args.g_reg_every
+    synth_ms = f"{t_synth * 1e3:.1f}" if t_synth is not None else "n/a"
     print(f"amortized step: {eff * 1e3:.1f} ms -> "
           f"{args.batch / eff:.2f} imgs/s/chip "
           f"(size {args.size}, batch {args.batch}, bf16={args.bf16}, "
-          f"remat={args.remat}, r1_fits={t_r1 is not None}, "
-          f"path_fits={t_pl is not None})")
+          f"remat={args.remat}, d_bf16={args.d_bf16}, "
+          f"d_remat={args.d_remat}, synth_fake={synth_ms} ms, "
+          f"r1_fits={t_r1 is not None}, path_fits={t_pl is not None})")
 
 
 if __name__ == "__main__":

@@ -457,33 +457,67 @@ class Generator(fnn.Module):
 
 
 class Discriminator(fnn.Module):
-    """models/stylegan2/model.py:647-705 (ResBlocks + minibatch stddev)."""
+    """models/stylegan2/model.py:647-705 (ResBlocks + minibatch stddev).
+
+    ``dtype``: compute dtype for the conv tower (params stay fp32; the
+    minibatch-stddev statistic and the callers' losses accumulate fp32).
+    ``remat``: jax.checkpoint each ResBlock — with bf16 these lift the
+    1024² d_step compile/HBM ceiling from batch 4 to 16+ (the fp32 tower's
+    grad needs ~14 GiB of temps at batch 4 alone; tools/d_step_probe.py,
+    PERF.md "Adversarial (GAN) training step").
+    ``s2d_octaves``: run the first N octaves space-to-depth — EXACT weight
+    transforms (the generator's s2d lever, mirrored: the 1024²
+    ≤32-channel convs underfill the 128-lane MXU 4×; in s2d layout they
+    run as half-res 4×-channel convs). conv_in and each octave's conv1
+    stay in s2d layout; the downsample convs consume s2d and emit pixel
+    layout via the merged blur+stride-2 kernel
+    (nn/layers.py::_downconv_weight_to_s2d). Parity:
+    tests/test_gan_training.py::test_discriminator_s2d_octaves_exact.
+    """
     size: int
     channel_multiplier: int = 2
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     stddev_group: int = 4
     stddev_feat: int = 1
+    dtype: Any = jnp.float32
+    remat: bool = False
+    s2d_octaves: int = 0
 
     @fnn.compact
     def __call__(self, x):
+        from where2edit_tpu.nn.layers import space_to_depth  # noqa: PLC0415
+
         channels = channel_table(self.channel_multiplier)
         log_size = int(math.log2(self.size))
-        out = ConvLayer(3, channels[self.size], 1, name="conv_in")(x)
+        n_oct = log_size - 2  # number of ResBlocks
+        s2d_n = max(0, min(self.s2d_octaves, n_oct))
+        x = x.astype(self.dtype)
+        if s2d_n > 0:
+            x = space_to_depth(x)
+        out = ConvLayer(3, channels[self.size], 1,
+                        name="conv_in")(x, s2d_in=s2d_n > 0)
         in_ch = channels[self.size]
-        for i in range(log_size, 2, -1):
+        block_cls = fnn.remat(ResBlock) if self.remat else ResBlock
+        for idx, i in enumerate(range(log_size, 2, -1)):
             out_ch = channels[2 ** (i - 1)]
-            out = ResBlock(in_ch, out_ch, self.blur_kernel,
-                           name=f"block_{log_size - i}")(out)
+            use_s2d = idx < s2d_n
+            if use_s2d and idx > 0:  # first octave arrives s2d from conv_in
+                out = space_to_depth(out)
+            out = block_cls(in_ch, out_ch, self.blur_kernel,
+                            name=f"block_{log_size - i}")(out,
+                                                          s2d_in=use_s2d)
             in_ch = out_ch
 
         b, h, w, c = out.shape
         group = min(b, self.stddev_group)
-        stddev = out.reshape(group, -1, h, w, self.stddev_feat,
-                             c // self.stddev_feat)
+        # the cross-sample statistic accumulates fp32 (bf16 variance of
+        # near-equal values cancels catastrophically)
+        stddev = out.astype(jnp.float32).reshape(
+            group, -1, h, w, self.stddev_feat, c // self.stddev_feat)
         stddev = jnp.sqrt(jnp.var(stddev, axis=0) + 1e-8)
         stddev = jnp.mean(stddev, axis=(1, 2, 4), keepdims=True)[..., 0]
         stddev = jnp.tile(stddev.reshape(-1, 1, 1, 1), (group, h, w, 1))
-        out = jnp.concatenate([out, stddev], axis=-1)
+        out = jnp.concatenate([out, stddev.astype(out.dtype)], axis=-1)
 
         out = ConvLayer(in_ch + 1, channels[4], 3, name="final_conv")(out)
         # torch flattens NCHW (C,H,W) — transpose before reshape for parity.

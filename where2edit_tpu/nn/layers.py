@@ -101,22 +101,48 @@ class EqualConv2d(fnn.Module):
     bias_init: float = 0.0
 
     @fnn.compact
-    def __call__(self, x):
+    def __call__(self, x, s2d: bool = False, s2d_down=None):
+        """``s2d``: consume AND produce space-to-depth layout (weights
+        transformed exactly; k ∈ {1, 3}). ``s2d_down``: (blur_2d, off) —
+        consume s2d, apply the merged blur+stride-2 kernel as a stride-1
+        SAME conv, produce PIXEL layout at half resolution (the
+        discriminator's downsample from an s2d octave)."""
         k = self.kernel_size
         w = self.param(
             "weight", fnn.initializers.normal(1.0),
             (k, k, self.in_channel, self.out_channel),
         )
         scale = 1.0 / math.sqrt(self.in_channel * k * k)
-        out = lax.conv_general_dilated(
-            x, (w * scale).astype(x.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if s2d_down is not None:
+            blur_2d, off = s2d_down
+            v = _merge_blur_into_downsample_weight(w * scale, blur_2d)
+            kern = _downconv_weight_to_s2d(v, off)
+            out = lax.conv_general_dilated(
+                x, kern.astype(x.dtype), window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        elif s2d:
+            kern = (_conv1_weight_to_s2d(w * scale) if k == 1
+                    else _conv3_weight_to_s2d(w * scale))
+            pad = k // 2
+            out = lax.conv_general_dilated(
+                x, kern.astype(x.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            out = lax.conv_general_dilated(
+                x, (w * scale).astype(x.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding),
+                         (self.padding, self.padding)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             b = self.param("bias", fnn.initializers.constant(self.bias_init),
                            (self.out_channel,))
+            if s2d:
+                b = jnp.tile(b, 4)  # phase-major block order
             out = out + b.astype(out.dtype)
         return out
 
@@ -265,6 +291,49 @@ def _conv3_weight_to_s2d(w: jnp.ndarray) -> jnp.ndarray:
                             co = (a * 2 + b) * out_c
                             k = k.at[P + 1, Q + 1, ci:ci + in_c,
                                      co:co + out_c].set(w[u, v])
+    return k
+
+
+def _merge_blur_into_downsample_weight(w_hwio: jnp.ndarray,
+                                       blur_2d: np.ndarray) -> jnp.ndarray:
+    """Compose Blur(pad=(pl,pr)) → stride-2 conv into one merged kernel.
+
+    y[m] = Σ_i kf[i]·x[m + i − pl] (upfirdn true convolution, kf = flipped
+    blur) and out[o] = Σ_r w[r]·y[2o + r] give
+    out[o] = Σ_u V[u]·x[2o + u − pl] with V[u] = Σ_{r+i=u} w[r]·kf[i] —
+    a (k + kb − 1)-tap kernel read at stride 2. The caller's offset is the
+    blur's left pad pl."""
+    kb = blur_2d.shape[0]
+    k = w_hwio.shape[0]
+    kf = blur_2d[::-1, ::-1]
+    kk = k + kb - 1
+    out = jnp.zeros((kk, kk, *w_hwio.shape[2:]), w_hwio.dtype)
+    for i1 in range(kb):
+        for i2 in range(kb):
+            out = out.at[i1:i1 + k, i2:i2 + k].add(
+                float(kf[i1, i2]) * w_hwio)
+    return out
+
+
+def _downconv_weight_to_s2d(v: jnp.ndarray, off: int) -> jnp.ndarray:
+    """Merged downsample kernel (kk,kk,in,out) → s2d-input conv
+    (3,3,4·in,out), stride 1, SAME pad 1, output in PIXEL layout at half
+    resolution: x[2o + u − off] = X_s2d[o + J, phase a] with
+    u = 2J + a + off, J ∈ {−1,0,1}. Exact for kk ≤ 6, off ∈ {1,2} (the
+    blur-4 cases k ∈ {1,3})."""
+    kk = v.shape[0]
+    in_c, out_c = v.shape[2], v.shape[3]
+    k = jnp.zeros((3, 3, 4 * in_c, out_c), v.dtype)
+    for a in range(2):
+        for b in range(2):
+            blk = (a * 2 + b) * in_c
+            for j1 in (-1, 0, 1):
+                for j2 in (-1, 0, 1):
+                    u1 = 2 * j1 + a + off
+                    u2 = 2 * j2 + b + off
+                    if 0 <= u1 < kk and 0 <= u2 < kk:
+                        k = k.at[j1 + 1, j2 + 1, blk:blk + in_c, :].set(
+                            v[u1, u2])
     return k
 
 
@@ -587,25 +656,36 @@ class ConvLayer(fnn.Module):
     activate: bool = True
 
     @fnn.compact
-    def __call__(self, x):
-        if self.downsample:
-            factor = 2
-            p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
-            pad = ((p + 1) // 2, p // 2)
-            x = Blur(self.blur_kernel, pad=pad)(x)
-            stride, padding = 2, 0
-        else:
-            stride, padding = 1, self.kernel_size // 2
-        x = EqualConv2d(
+    def __call__(self, x, s2d_in: bool = False):
+        """``s2d_in``: x arrives in space-to-depth layout. Non-downsample
+        layers stay in s2d layout (exact weight transform); downsample
+        layers consume s2d and emit pixel layout at half resolution (the
+        merged blur+stride-2 kernel, derivation at
+        _downconv_weight_to_s2d)."""
+        s2d_out = s2d_in and not self.downsample
+        factor = 2
+        p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
+        pad = ((p + 1) // 2, p // 2)
+        conv = EqualConv2d(
             self.in_channel, self.out_channel, self.kernel_size,
-            stride=stride, padding=padding,
+            stride=2 if self.downsample else 1,
+            padding=0 if self.downsample else self.kernel_size // 2,
             use_bias=self.use_bias and not self.activate, name="conv",
-        )(x)
+        )
+        if self.downsample and s2d_in:
+            blur_2d = np.asarray(make_kernel(self.blur_kernel))
+            x = conv(x, s2d_down=(blur_2d, pad[0]))
+        elif self.downsample:
+            x = Blur(self.blur_kernel, pad=pad)(x)
+            x = conv(x)
+        else:
+            x = conv(x, s2d=s2d_in)
         if self.activate:
             if self.use_bias:
                 bias = self.param("activate_bias", fnn.initializers.zeros,
                                   (self.out_channel,))
-                x = fused_leaky_relu(x, bias)
+                x = fused_leaky_relu(x, jnp.tile(bias, 4) if s2d_out
+                                     else bias)
             else:
                 x = jnp.where(x >= 0, x, x * 0.2) * math.sqrt(2.0)
         return x
@@ -618,10 +698,12 @@ class ResBlock(fnn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
 
     @fnn.compact
-    def __call__(self, x):
-        out = ConvLayer(self.in_channel, self.in_channel, 3, name="conv1")(x)
+    def __call__(self, x, s2d_in: bool = False):
+        out = ConvLayer(self.in_channel, self.in_channel, 3,
+                        name="conv1")(x, s2d_in=s2d_in)
         out = ConvLayer(self.in_channel, self.out_channel, 3, downsample=True,
-                        name="conv2")(out)
+                        name="conv2")(out, s2d_in=s2d_in)
         skip = ConvLayer(self.in_channel, self.out_channel, 1, downsample=True,
-                         activate=False, use_bias=False, name="skip")(x)
+                         activate=False, use_bias=False,
+                         name="skip")(x, s2d_in=s2d_in)
         return (out + skip) / math.sqrt(2.0)

@@ -58,6 +58,32 @@ class GANTrainConfig:
     channel_multiplier: int = 2
     bf16: bool = False            # bf16 synthesis compute (fp32 losses)
     remat: bool = False           # jax.checkpoint the g_step synthesis
+    d_bf16: bool = False          # bf16 discriminator tower (fp32 stddev/
+    #                               losses)
+    d_remat: bool = False         # jax.checkpoint each D ResBlock
+    d_microbatch: int = 0         # accumulate D grads over lax.scan chunks
+    #                               of this many samples (0 = whole batch).
+    #                               Lifts the 1024² compile ceiling: ANY
+    #                               D weight-grad above ~batch-4 size
+    #                               crashes the compile helper
+    #                               (tools/d_step_probe.py), so batch 8+
+    #                               ships as micro-batch 4. Minibatch-stddev
+    #                               then sees per-chunk groups — exactly
+    #                               the reference's per-GPU DDP semantics
+    #                               at batch 4/GPU. Single-chip only
+    #                               (ignored with a mesh: per-device
+    #                               batches are already small under DP).
+    g_microbatch: int = 0         # same scan-chunk accumulation for
+    #                               g_step (G fwd/bwd through D) — the
+    #                               remaining monolithic program once
+    #                               d_microbatch lifts the D side; needed
+    #                               for single-chip batch 16 at 1024²
+    d_s2d_octaves: int = 0        # run the D tower's first N octaves
+    #                               space-to-depth — EXACT weight/layout
+    #                               transform (the generator's s2d lever
+    #                               mirrored; test_discriminator_s2d_
+    #                               octaves_exact). Fills the MXU lanes
+    #                               the ≤32-channel full-res convs waste.
     seed: int = 0
 
 
@@ -134,7 +160,9 @@ class GANTrainer:
             size=cfg.size, channel_multiplier=cfg.channel_multiplier,
             dtype=dtype)
         self.discriminator = discriminator or Discriminator(
-            size=cfg.size, channel_multiplier=cfg.channel_multiplier)
+            size=cfg.size, channel_multiplier=cfg.channel_multiplier,
+            dtype=jnp.bfloat16 if cfg.d_bf16 else jnp.float32,
+            remat=cfg.d_remat, s2d_octaves=cfg.d_s2d_octaves)
 
         key = jax.random.PRNGKey(cfg.seed)
         kg, kd, kn = jax.random.split(key, 3)
@@ -192,23 +220,33 @@ class GANTrainer:
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, spec))
 
-    def _mixed_wplus(self, g_params, key, batch: int):
-        """Sample a style-mixed W+ batch. The mixing probability folds into
-        a traced inject_index (inject = n_latent ⇒ no mixing) — one program
-        covers both outcomes, no host-side branch."""
+    def _mix_keys(self, key, batch: int):
+        """(z1, z2, inject) for a style-mixed batch — split out so g_step's
+        micro-batch chunks can slice one full-batch draw."""
         g = self.generator
         kz1, kz2, kp, ki = jax.random.split(key, 4)
         z1 = self._shard_batchdim(jax.random.normal(kz1, (batch, g.style_dim)))
         z2 = self._shard_batchdim(jax.random.normal(kz2, (batch, g.style_dim)))
-        gv = {"params": g_params, **self.g_vars}
-        w1 = g.apply(gv, z1, method=g.get_latent)
-        w2 = g.apply(gv, z2, method=g.get_latent)
         inject = jnp.where(
             jax.random.uniform(kp, ()) < self.cfg.mixing,
             jax.random.randint(ki, (), 1, g.n_latent),
             g.n_latent)
+        return z1, z2, inject
+
+    def _mixed_wplus_from(self, g_params, z1, z2, inject):
+        g = self.generator
+        gv = {"params": g_params, **self.g_vars}
+        w1 = g.apply(gv, z1, method=g.get_latent)
+        w2 = g.apply(gv, z2, method=g.get_latent)
         row = jnp.arange(g.n_latent)[None, :, None]
         return jnp.where(row < inject, w1[:, None, :], w2[:, None, :])
+
+    def _mixed_wplus(self, g_params, key, batch: int):
+        """Sample a style-mixed W+ batch. The mixing probability folds into
+        a traced inject_index (inject = n_latent ⇒ no mixing) — one program
+        covers both outcomes, no host-side branch."""
+        return self._mixed_wplus_from(g_params,
+                                      *self._mix_keys(key, batch))
 
     def _synthesize(self, g_params, wplus, noise_key):
         out = self.generator.apply(
@@ -224,18 +262,55 @@ class GANTrainer:
         def d_apply(d_params, x):
             return disc.apply({"params": d_params}, x)
 
-        def d_step(d_params, d_opt_state, g_params, real, key):
-            real = self._shard_batchdim(real)
+        def synth_fake(g_params, key):
+            """The D step's fake batch, in its OWN program: the output is
+            discarded gradient-wise anyway (the old in-step synthesis was
+            stop_gradient'ed), so splitting it out halves d_step's graph —
+            the generator never rides inside the discriminator program.
+            This moved the 1024² compile ceiling past batch 8 (PERF.md
+            "Adversarial (GAN) training step")."""
             kw, kn = jax.random.split(key)
-            wplus = self._mixed_wplus(g_params, kw, real.shape[0])
-            fake = jax.lax.stop_gradient(
-                self._synthesize(g_params, wplus, kn))
+            wplus = self._mixed_wplus(g_params, kw, cfg.batch_size)
+            return self._synthesize(g_params, wplus, kn)
 
-            def loss_fn(dp):
-                return logistic_d_loss(d_apply(dp, real),
-                                       d_apply(dp, fake.astype(real.dtype)))
+        mb = cfg.d_microbatch if self.mesh is None else 0
+        n_chunks = (cfg.batch_size // mb
+                    if mb and 0 < mb < cfg.batch_size
+                    and cfg.batch_size % mb == 0 else 1)
 
-            loss, grads = jax.value_and_grad(loss_fn)(d_params)
+        def _accum_grads(value_and_grad_fn, d_params, *batched):
+            """Mean loss/grads over n_chunks lax.scan chunks — ONE compiled
+            chunk body regardless of batch, which is what lifts the 1024²
+            D-grad compile ceiling (tools/d_step_probe.py: any D weight-grad
+            above ~batch-4 size crashes the compile helper)."""
+            if n_chunks == 1:
+                return value_and_grad_fn(d_params, *batched)
+            chunked = tuple(x.reshape(n_chunks, mb, *x.shape[1:])
+                            for x in batched)
+
+            def body(carry, xs):
+                loss_c, grads_c = value_and_grad_fn(d_params, *xs)
+                acc_loss, acc_g = carry
+                return (acc_loss + loss_c,
+                        jax.tree.map(jnp.add, acc_g, grads_c)), None
+
+            zero = (jnp.zeros((), jnp.float32),
+                    jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype),
+                                 d_params))
+            (loss_sum, grad_sum), _ = jax.lax.scan(body, zero, chunked)
+            return (loss_sum / n_chunks,
+                    jax.tree.map(lambda g: g / n_chunks, grad_sum))
+
+        def d_step(d_params, d_opt_state, real, fake):
+            real = self._shard_batchdim(real)
+            fake = self._shard_batchdim(fake)
+
+            def chunk_loss(dp, r, f):
+                return logistic_d_loss(d_apply(dp, r),
+                                       d_apply(dp, f.astype(r.dtype)))
+
+            loss, grads = _accum_grads(
+                jax.value_and_grad(chunk_loss), d_params, real, fake)
             updates, d_opt_state = self.d_opt.update(grads, d_opt_state,
                                                      d_params)
             d_params = optax.apply_updates(d_params, updates)
@@ -244,29 +319,59 @@ class GANTrainer:
         def d_r1_step(d_params, d_opt_state, real):
             real = self._shard_batchdim(real)
 
-            def loss_fn(dp):
-                r1 = r1_penalty(d_apply, dp, real)
+            def chunk_loss(dp, r):
+                r1 = r1_penalty(d_apply, dp, r)
                 # lazy cadence: the penalty is applied every d_reg_every
                 # steps, scaled back up by the interval (StyleGAN2 App. B)
                 return cfg.r1 / 2.0 * r1 * cfg.d_reg_every
 
-            loss, grads = jax.value_and_grad(loss_fn)(d_params)
+            loss, grads = _accum_grads(
+                jax.value_and_grad(chunk_loss), d_params, real)
             updates, d_opt_state = self.d_opt.update(grads, d_opt_state,
                                                      d_params)
             d_params = optax.apply_updates(d_params, updates)
             return d_params, d_opt_state, loss
 
+        mb_g = cfg.g_microbatch if self.mesh is None else 0
+        ng_chunks = (cfg.batch_size // mb_g
+                     if mb_g and 0 < mb_g < cfg.batch_size
+                     and cfg.batch_size % mb_g == 0 else 1)
+
         def g_step(g_params, g_opt_state, d_params, key):
             kw, kn = jax.random.split(key)
+            # one full-batch z/inject draw, sliced per chunk — the chunked
+            # program samples the same latents the monolithic one would
+            z1, z2, inject = self._mix_keys(kw, cfg.batch_size)
 
-            def loss_fn(gp):
-                wplus = self._mixed_wplus(gp, kw, cfg.batch_size)
+            def chunk_loss(gp, z1c, z2c, knc):
+                wplus = self._mixed_wplus_from(gp, z1c, z2c, inject)
                 synth = (jax.checkpoint(self._synthesize) if cfg.remat
                          else self._synthesize)
-                fake = synth(gp, wplus, kn)
+                fake = synth(gp, wplus, knc)
                 return logistic_g_loss(d_apply(d_params, fake))
 
-            loss, grads = jax.value_and_grad(loss_fn)(g_params)
+            if ng_chunks == 1:
+                loss, grads = jax.value_and_grad(chunk_loss)(
+                    g_params, z1, z2, kn)
+            else:  # scan-chunk accumulation (same scheme as d_microbatch)
+                xs = (z1.reshape(ng_chunks, mb_g, -1),
+                      z2.reshape(ng_chunks, mb_g, -1),
+                      jax.random.split(kn, ng_chunks))
+
+                def body(carry, x):
+                    loss_c, grads_c = jax.value_and_grad(chunk_loss)(
+                        g_params, *x)
+                    acc_l, acc_g = carry
+                    return (acc_l + loss_c,
+                            jax.tree.map(jnp.add, acc_g, grads_c)), None
+
+                zero = (jnp.zeros((), jnp.float32),
+                        jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype),
+                                     g_params))
+                (loss_sum, grad_sum), _ = jax.lax.scan(body, zero, xs)
+                loss = loss_sum / ng_chunks
+                grads = jax.tree.map(lambda g_: g_ / ng_chunks, grad_sum)
+
             updates, g_opt_state = self.g_opt.update(grads, g_opt_state,
                                                      g_params)
             g_params = optax.apply_updates(g_params, updates)
@@ -296,6 +401,7 @@ class GANTrainer:
                 lambda e, p: e * beta + p.astype(e.dtype) * (1.0 - beta),
                 ema, params)
 
+        self._synth_fake = jax.jit(synth_fake)
         self._d_step = jax.jit(d_step, donate_argnums=(0, 1))
         self._d_r1_step = jax.jit(d_r1_step, donate_argnums=(0, 1))
         self._g_step = jax.jit(g_step, donate_argnums=(0, 1))
@@ -317,8 +423,9 @@ class GANTrainer:
         real = jnp.asarray(real)
         metrics: dict[str, Any] = {}
 
+        fake = self._synth_fake(self.g_params, kd)  # own program (see above)
         self.d_params, self.d_opt_state, d_loss = self._d_step(
-            self.d_params, self.d_opt_state, self.g_params, real, kd)
+            self.d_params, self.d_opt_state, real, fake)
         metrics["d_loss"] = d_loss
 
         if cfg.d_reg_every > 0 and self.global_step % cfg.d_reg_every == 0:
