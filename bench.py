@@ -136,6 +136,15 @@ def main():
     # training OOMs/regressions without paying the serving compiles
     only_train = os.environ.get("W2E_BENCH_ONLY_TRAIN") == "1"
 
+    # the driver records THIS process's one JSON line — a crash in any
+    # late config must not cost the numbers already measured (observed:
+    # an OOM can wedge the in-process device arena and poison everything
+    # after it). emit() is idempotent; this finally is the backstop.
+    import atexit  # noqa: PLC0415
+
+    atexit.register(lambda: emit(results, results.get(
+        "e2e_edits_per_sec_per_chip", 0.0)))
+
     const = gvars["params"]["input"]["input"]
     mapper = FullSpaceMapperFEATClusterLinStyle(
         layers=gen.n_latent, attention_layer=ATT_LAYER,
@@ -245,15 +254,18 @@ def main():
             return jax.lax.fori_loop(0, N, body, 0.0)
         return loop
 
-    def build_stages(batch):
+    def build_stages(batch, g=None, cap_feats=None, cap_styles=None):
+        g = g if g is not None else gen
+        cap_feats = cap_feats if cap_feats is not None else feats
+        cap_styles = cap_styles if cap_styles is not None else out.style_vector
         tokens = jnp.ones((N, batch, 77), jnp.int32)
         img256 = jax.random.uniform(
             jax.random.PRNGKey(4), (batch, 256, 256, 3),
             minval=-1.0, maxval=1.0)
         wplus0 = jax.random.normal(
-            jax.random.PRNGKey(8), (batch, gen.n_latent, 512))
+            jax.random.PRNGKey(8), (batch, g.n_latent, 512))
         styles_b = [s[:1].repeat(batch, 0) if s.shape[0] != batch else s
-                    for s in out.style_vector]
+                    for s in cap_styles]
         texts_b = jax.random.normal(jax.random.PRNGKey(5), (N, batch, 512))
 
         text_loop = stage_loop(lambda i, cv, tk: jnp.sum(clip_model.apply(
@@ -272,9 +284,9 @@ def main():
         blend, keep = tap_controls(SIZE, ATT_LAYER, ATT_LAYER)
 
         def capture_body(i, gv, w):
-            cap = gen.apply(gv, [w + 1e-4 * i], input_is_latent=True,
-                            randomize_noise=False, return_features=True,
-                            tap_subsample=blend, tap_indices=keep)
+            cap = g.apply(gv, [w + 1e-4 * i], input_is_latent=True,
+                          randomize_noise=False, return_features=True,
+                          tap_subsample=blend, tap_indices=keep)
             return (jnp.mean(cap.image)
                     + sum(jnp.mean(f) for f in cap.feature_map
                           if f is not None)
@@ -290,14 +302,14 @@ def main():
         from where2edit_tpu.demo.api import subsample_for_mapper  # noqa: PLC0415
 
         feats_ready1 = jax.jit(
-            lambda fm: subsample_for_mapper(fm, blend, keep))(feats)
+            lambda fm: subsample_for_mapper(fm, blend, keep))(cap_feats)
         feats_ready = [f[:1].repeat(batch, 0)
                        if f is not None and f.shape[0] != batch else f
                        for f in feats_ready1]
 
         def edit_body(i, gv, mv, texts, styles, fm, mfm):
             img, _, amap, _ = one_text_edit(
-                generator=gen, gen_vars=gv, mapper=mapper,
+                generator=g, gen_vars=gv, mapper=mapper,
                 mapper_vars=mv, text_features=texts[i],
                 attention_text_features=texts[i], latent=styles,
                 feature_map=fm, mapper_feature_map=mfm,
@@ -315,23 +327,63 @@ def main():
         }
         return stage_args
 
+    def build_stages_lazy(batch, **kw):
+        """Per-stage input builders. Materializing every stage's inputs up
+        front crowds the big stages out of HBM: the b64 capture program
+        alone needs 14.9 GiB (tools/capture_mem.py — 13.1 temps + 1.6
+        outputs) and EXECUTES solo, but not with the edit stage's
+        broadcast mapper-tap list (~1.6 GiB) resident. Lazy per-stage
+        construction + the per-stage executable unload is what makes the
+        batch-64 pipeline fit."""
+        def make(name):
+            def thunk():
+                return build_stages(batch, **kw)[name]
+            return thunk
+        return {n: make(n) for n in ("text_encode", "invert", "capture",
+                                     "edit")}
+
+    def measure_e2e(batch, label="", **kw):
+        """Time the four stages at `batch` (lazy inputs, unload between);
+        returns (rate, per-edit dict) or None if any stage fails."""
+        log(f"config 1{label}: staged e2e edit at batch {batch} …")
+        per = {}
+        for name, thunk in build_stages_lazy(batch, **kw).items():
+            jax.clear_caches()
+            gc.collect()
+            log(f"  stage {name} …")
+            try:
+                loop, largs = thunk()
+                per[name] = timeit(loop, *largs) / N
+            except Exception as exc:  # noqa: BLE001 — HBM-fit ladder
+                log(f"  stage {name} FAILED ({type(exc).__name__}: "
+                    f"{str(exc)[:120]})")
+                return None
+            log(f"    {per[name] * 1e3 / batch:.2f} ms/edit")
+            del loop, largs
+        return batch / sum(per.values()), per
+
     e2e_per_sec = 0.0
-    log(f"config 1: staged e2e edit at batch {BATCH} …")
-    per_edit = {}
-    for name, (loop, largs) in build_stages(BATCH).items():
-        # unload the previous stage's executable first — each stage is its
-        # own program (strictly sequential in the reference flow), and the
-        # big-batch stages run within ~1 GB of HBM capacity; resident temp
-        # arenas from earlier stages are pure risk here
-        jax.clear_caches()
-        gc.collect()
-        log(f"  stage {name} …")
-        per_edit[name] = timeit(loop, *largs) / N
-        log(f"    {per_edit[name] * 1e3 / BATCH:.2f} ms/edit")
-    e2e_per_sec = BATCH / sum(per_edit.values())
+    res = measure_e2e(BATCH)
+    assert res is not None, f"e2e pipeline failed at base batch {BATCH}"
+    e2e_per_sec, per_edit = res
     results["e2e_edits_per_sec_per_chip"] = round(e2e_per_sec, 2)
+    results["e2e_batch"] = BATCH
     results[f"e2e_stage_ms_per_edit_batch{BATCH}"] = {
         k: round(v * 1e3 / BATCH, 3) for k, v in per_edit.items()}
+    # batch ladder upward: lazy stage inputs + per-stage unload make the
+    # 2x pipeline fit (the b64 capture program needs 14.9 GiB alone —
+    # capture_mem.py); keep the higher rate under honest keys
+    e2e_big = int(os.environ.get("W2E_BENCH_E2E_BIG", str(2 * BATCH)))
+    if e2e_big > BATCH:
+        res_big = measure_e2e(e2e_big, label=" (big batch)")
+        if res_big is not None:
+            rate_big, per_big = res_big
+            results[f"e2e_stage_ms_per_edit_batch{e2e_big}"] = {
+                k: round(v * 1e3 / e2e_big, 3) for k, v in per_big.items()}
+            if rate_big > e2e_per_sec:
+                e2e_per_sec = rate_big
+                results["e2e_edits_per_sec_per_chip"] = round(rate_big, 2)
+                results["e2e_batch"] = e2e_big
     # config 4 = the steady-state session cost (capture once per face)
     results["interactive_edits_per_sec_per_chip"] = round(
         BATCH / per_edit["edit"], 2)
@@ -351,8 +403,8 @@ def main():
         jax.clear_caches()
         gc.collect()
         log(f"config 4: interactive edit at batch {b_try} …")
-        loop, largs = build_stages(b_try)["edit"]
         try:
+            loop, largs = build_stages_lazy(b_try)["edit"]()
             dt = timeit(loop, *largs) / N
         except Exception as exc:  # noqa: BLE001 — HBM-fit ladder
             log(f"  batch {b_try} FAILED ({type(exc).__name__}) — "
@@ -367,12 +419,10 @@ def main():
     jax.clear_caches()
     gc.collect()
 
-    log("config 1 at batch 1: p50 latency …")
-    per_edit1 = {}
-    for name, (loop, largs) in build_stages(1).items():
-        per_edit1[name] = timeit(loop, *largs) / N
+    res1 = measure_e2e(1, label=" (p50)")
+    assert res1 is not None, "batch-1 p50 pipeline failed"
     results["e2e_p50_latency_ms_batch1"] = round(
-        sum(per_edit1.values()) * 1e3, 2)
+        sum(res1[1].values()) * 1e3, 2)
     log(f"  {results['e2e_p50_latency_ms_batch1']} ms")
 
     # -------- config 3: StyleCLIP LevelsMapper inference --------
@@ -414,6 +464,59 @@ def main():
         results[f"styleclip_mapper_ms_per_batch{b_try}"] = round(dt * 1e3, 3)
         log(f"  {results['styleclip_mapper_edits_per_sec_per_chip']} edits/s")
         break
+    del ws
+    jax.clear_caches()
+    gc.collect()
+
+    # ---- config 1, ≥0.99-SSIM policy: fp32 synthesis (s2d only — an exact
+    # weight/layout transform, tests/test_s2d.py) ----
+    # BASELINE pairs the throughput target with SSIM ≥0.99; the bf16 rows
+    # above gate 0.97 on random weights (tests/test_parity_headline.py), so
+    # the fidelity and throughput targets are demonstrated here on ONE
+    # configuration (VERDICT r3 weak #1). Runs LAST: fp32 doubles the
+    # capture temps (the bf16 b32 capture alone is 8.6 GiB,
+    # tools/capture_mem.py), so this section ladders DOWN from BATCH/2 and
+    # an OOM here — which can wedge the in-process device arena on this
+    # backend — cannot take the core configs with it.
+    if os.environ.get("W2E_BENCH_SKIP_FP32") == "1":
+        log("fp32 serving rows skipped (W2E_BENCH_SKIP_FP32=1)")
+    else:
+        gen32 = Generator(size=SIZE, s2d_octaves=1)
+        z32 = jax.random.normal(jax.random.PRNGKey(2), (1, 512))
+        out32 = jax.block_until_ready(jax.jit(
+            lambda gv, zz: gen32.apply(gv, [zz], randomize_noise=False,
+                                       return_features=True))(gvars, z32))
+        feats32 = list(out32.feature_map)
+        feats32.append(jnp.broadcast_to(const, (1, *const.shape[1:])))
+
+        fp32_kw = dict(g=gen32, cap_feats=feats32,
+                       cap_styles=out32.style_vector)
+        fp32_batch = int(os.environ.get("W2E_BENCH_FP32_BATCH",
+                                        str(max(BATCH // 2, 1))))
+        try:
+            for b_try in sorted({fp32_batch, fp32_batch // 2} - {0},
+                                reverse=True):
+                res32 = measure_e2e(b_try, label=" (fp32 policy)", **fp32_kw)
+                if res32 is not None:
+                    rate32, per32 = res32
+                    results["e2e_edits_per_sec_per_chip_fp32"] = round(
+                        rate32, 2)
+                    results["e2e_fp32_batch"] = b_try
+                    results[f"e2e_stage_ms_per_edit_batch{b_try}_fp32"] = {
+                        k: round(v * 1e3 / b_try, 3)
+                        for k, v in per32.items()}
+                    log(f"  fp32 e2e {round(rate32, 2)} edits/s (b{b_try})")
+                    break
+            jax.clear_caches()
+            gc.collect()
+            res32_1 = measure_e2e(1, label=" (fp32 policy, p50)", **fp32_kw)
+            if res32_1 is not None:
+                results["e2e_p50_latency_ms_batch1_fp32"] = round(
+                    sum(res32_1[1].values()) * 1e3, 2)
+                log(f"  {results['e2e_p50_latency_ms_batch1_fp32']} ms")
+        except Exception as exc:  # noqa: BLE001 — keep the bf16 headline
+            log(f"fp32 serving rows FAILED ({type(exc).__name__}: {exc})")
+            results["fp32_bench_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     emit(results, e2e_per_sec)
 
@@ -539,7 +642,13 @@ def bench_training(results, key, gvars, mapper, clip_model,
                     f"{type(exc).__name__}: {exc}"[:200])
 
 
+_EMITTED = {"done": False}
+
+
 def emit(results, e2e_per_sec):
+    if _EMITTED["done"]:
+        return
+    _EMITTED["done"] = True
     print(json.dumps({
         "metric": "1024px_e2e_edits_per_sec_per_chip",
         "value": results.get("e2e_edits_per_sec_per_chip", 0.0),

@@ -138,7 +138,7 @@ def main():
         from where2edit_tpu.utils.profiling import sync_fetch  # noqa: PLC0415
 
         key = jax.random.PRNGKey(0)
-        gen = Generator(size=args.size,
+        gen = Generator(size=args.size, s2d_octaves=args.s2d,
                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
         gvars = jax.jit(lambda: gen.init({"params": key, "noise": key},
                                          [jnp.zeros((1, 512))]))()
