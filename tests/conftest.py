@@ -70,6 +70,10 @@ SLOW_TESTS = {
     "test_train_stylegan_cli_dp_mesh",
     "test_gan_cli_sigterm_resume_bit_exact",
     "test_attention_cli_sigterm_resume_bit_exact",
+    "test_mapper_train_cli_sigterm_resume",
+    "test_discriminator_s2d_octaves_exact",
+    "test_gan_d_microbatch_matches_mean_of_chunks",
+    "test_gan_g_microbatch_matches_mean_of_chunks",
     # r4 re-budget (VERDICT r3 weak #6): every test measured >10 s on a
     # contended 4-core box moves under `slow` so the quick gate's stated
     # budget stays true (pytest -m "not slow" --durations=60 ledger)

@@ -132,5 +132,54 @@ def test_attention_cli_sigterm_resume_bit_exact(tmp_path, monkeypatch):
     _tree_equal(full_tree["mapper"], res_tree["mapper"])
 
 
+def test_mapper_train_cli_sigterm_resume(tmp_path, monkeypatch):
+    """Third long-running CLI (StyleCLIP coach): SIGTERM → atomic
+    'preempt' snapshot with optimizer state + step; --resume continues at
+    the recorded step and completes max_steps."""
+    from where2edit_tpu.cli import mapper_train as cli
+    from where2edit_tpu.train.checkpoints import load_checkpoint
+    from where2edit_tpu.train.coach import Coach
+
+    base = ["--description", "purple hair", "--stylegan_size", "32",
+            "--stylegan_weights", "/nonexistent",
+            "--clip_lambda", "0", "--id_lambda", "0",
+            "--latent_l2_lambda", "0.8", "--max_steps", "4",
+            "--batch_size", "2", "--test_batch_size", "1",
+            "--train_dataset_size", "4", "--test_dataset_size", "2",
+            "--val_interval", "9", "--board_interval", "1",
+            "--image_interval", "1"]
+
+    orig_train = Coach.train
+
+    def train_with_sigterm(self, stop_fn=None):
+        def stop():
+            if self.global_step >= 2:
+                signal.raise_signal(signal.SIGTERM)
+            return bool(stop_fn()) if stop_fn is not None else False
+
+        return orig_train(self, stop_fn=stop)
+
+    monkeypatch.setattr(Coach, "train", train_with_sigterm)
+    exp1 = tmp_path / "exp1"
+    cli.main(base + ["--exp_dir", str(exp1)])
+    monkeypatch.setattr(Coach, "train", orig_train)
+
+    snap = exp1 / "checkpoints" / "preempt"
+    assert snap.is_dir(), "SIGTERM must leave a preempt snapshot"
+    tree, _ = load_checkpoint(str(snap))
+    assert int(tree["step"]) == 2 and "opt_state" in tree
+
+    exp2 = tmp_path / "exp2"
+    cli.main(base + ["--exp_dir", str(exp2), "--resume", str(snap)])
+    final, _ = load_checkpoint(str(exp2 / "checkpoints" / "iteration_4"))
+    assert int(final["step"]) == 4
+    # training continued past the snapshot: weights moved
+    import jax
+
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b)) for a, b in
+               zip(jax.tree.leaves(tree["mapper"]),
+                   jax.tree.leaves(final["mapper"])))
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

@@ -56,6 +56,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "checkpoint: a native coach checkpoint dir, or a "
                         "torch StyleCLIP checkpoint "
                         "(mapper/styleclip_mapper.py:38-42)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="FULL resume from a native coach checkpoint dir "
+                        "(weights + optimizer state + step) — e.g. the "
+                        "'preempt' snapshot a SIGTERM leaves behind")
     p.add_argument("--learning_rate", type=float, default=0.5)
     p.add_argument("--optim_name", type=str, default="ranger")
     p.add_argument("--id_lambda", type=float, default=0.1)
@@ -125,6 +129,8 @@ def load_warmstart_mapper_params(args) -> dict:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.resume and not args.checkpoint_path:
+        args.checkpoint_path = args.resume  # weights load shares the path
     from where2edit_tpu.utils.cache import enable_compile_cache  # noqa: PLC0415
 
     enable_compile_cache()
@@ -212,7 +218,42 @@ def main(argv=None):
                   clip_loss_fn=clip_loss_fn, id_loss_fn=id_loss_fn,
                   latent_avg=latent_avg, text_tokens=tokens,
                   train_latents=train_latents, test_latents=test_latents)
-    coach.train()
+
+    if args.resume:
+        # full resume (weights already loaded above via checkpoint_path
+        # aliasing): optimizer state + step. Distinct from the reference's
+        # --checkpoint_path, which is a weights-only warm-start
+        # (styleclip_mapper.py:38-42) and stays that way here.
+        from flax import serialization  # noqa: PLC0415
+
+        from where2edit_tpu.train.checkpoints import load_checkpoint  # noqa: PLC0415
+
+        tree, _ = load_checkpoint(args.resume)
+        if "opt_state" in tree:
+            coach.opt_state = serialization.from_state_dict(
+                coach.opt_state, tree["opt_state"])
+            coach.global_step = int(tree.get("step", 0))
+            print(f"restored optimizer state; continuing at step "
+                  f"{coach.global_step}")
+
+    # preemption safety (same contract as the other training CLIs):
+    # SIGTERM → atomic 'preempt' snapshot at the next step boundary
+    import signal  # noqa: PLC0415
+
+    stop = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop["flag"] = True
+        print("[preempt] SIGTERM — snapshotting at the next step boundary")
+
+    prev = signal.signal(signal.SIGTERM, _on_sigterm)
+    try:
+        result = coach.train(stop_fn=lambda: stop["flag"])
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+    if result == "preempted":
+        print(f"[preempt] snapshot → "
+              f"{os.path.join(cfg.exp_dir, 'checkpoints', 'preempt')}")
 
 
 if __name__ == "__main__":

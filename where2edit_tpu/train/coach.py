@@ -240,11 +240,23 @@ class Coach:
                                    return_latents=True, randomize_noise=False)
         return out.style_vector
 
-    def train(self):
+    def train(self, stop_fn=None):
+        """``stop_fn``: polled each step; returning True ends training
+        with an atomic ``preempt`` checkpoint carrying optimizer state +
+        step (SIGTERM handling in cli/mapper_train.py; the reference's
+        Coach has no preemption story)."""
         cfg = self.cfg
         save_interval = cfg.save_interval or cfg.max_steps
-        while self.global_step < cfg.max_steps:
+        # <=: the final step RUNS at global_step == max_steps (it returns
+        # from inside the loop after checkpointing). `<` would exit
+        # silently — skipping the final step/checkpoint — whenever an
+        # epoch boundary lands exactly on max_steps (e.g. a resumed run).
+        while self.global_step <= cfg.max_steps:
             for w in self._batches(self.train_latents, cfg.batch_size, True):
+                if stop_fn is not None and stop_fn():
+                    self.checkpoint({"preempted_at": self.global_step},
+                                    is_best=False, name="preempt")
+                    return "preempted"
                 t0 = time.time()
                 self.mapper_params, self.opt_state, aux, x = self._step_fn(
                     self.mapper_params, self.opt_state, w)
@@ -293,11 +305,20 @@ class Coach:
             self.metrics.add_scalar(f"test/{k}", v, self.global_step)
         return mean
 
-    def checkpoint(self, loss_dict, is_best: bool):
-        name = "best_model" if is_best else f"iteration_{self.global_step}"
+    def checkpoint(self, loss_dict, is_best: bool, name: str = ""):
+        from flax import serialization  # noqa: PLC0415
+
+        name = name or ("best_model" if is_best
+                        else f"iteration_{self.global_step}")
         path = os.path.join(self.cfg.exp_dir, "checkpoints", name)
-        save_checkpoint(path, {"mapper": self.mapper_params},
-                        opts=dataclasses.asdict(self.cfg))
+        # optimizer state + step ride along so --checkpoint_path resumes
+        # training (not just warm-starts weights); inference consumers read
+        # only tree["mapper"]
+        save_checkpoint(path, {
+            "mapper": self.mapper_params,
+            "opt_state": serialization.to_state_dict(self.opt_state),
+            "step": self.global_step,
+        }, opts=dataclasses.asdict(self.cfg))
         with open(os.path.join(self.cfg.exp_dir, "checkpoints",
                                "timestamp.txt"), "a") as f:
             tag = "**Best**: " if is_best else ""
