@@ -33,11 +33,12 @@ def test_bench_smoke_cpu_64px(tmp_path):
         W2E_BENCH_ATT_LAYER="4",
         W2E_BENCH_BATCH="2",
         W2E_JAX_CACHE="/tmp/w2e_cpu_cache",  # persists across runs
-        # the ≥0.99-SSIM fp32 serving rows double the stage compiles —
-        # they share build_stages with the bf16 rows (same code path) and
-        # are exercised on the real chip; the CPU smoke skips them to stay
-        # within its budget
+        # the ≥0.99-SSIM fp32 serving rows and the upward e2e batch ladder
+        # double the stage compiles — both share build_stages with the
+        # base rows (same code path) and are exercised on the real chip;
+        # the CPU smoke skips them to stay within its budget
         W2E_BENCH_SKIP_FP32="1",
+        W2E_BENCH_E2E_BIG="0",
     )
     # the conftest's 8-device flag must not leak into the subprocess — the
     # bench is a single-chip program
