@@ -68,6 +68,7 @@ SLOW_TESTS = {
     "test_gan_dp_step_equals_single_device",
     "test_train_stylegan_cli_end_to_end",
     "test_train_stylegan_cli_dp_mesh",
+    "test_train_stylegan_cli_tpu_recipe",
     "test_gan_cli_sigterm_resume_bit_exact",
     "test_attention_cli_sigterm_resume_bit_exact",
     "test_mapper_train_cli_sigterm_resume",

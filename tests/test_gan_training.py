@@ -431,6 +431,20 @@ def test_prefetch_loader_propagates_decode_errors():
         assert ei.value.__cause__ is not None
 
 
+def test_train_stylegan_cli_tpu_recipe(tmp_path):
+    """--tpu_recipe applies the measured 1024² levers (PERF.md) in one
+    flag; must run end-to-end at toy size (bf16 G+D, s2d-D, microbatch)."""
+    from where2edit_tpu.cli.train_stylegan import main
+
+    final = main([
+        "--synthetic", "8", "--size", str(SIZE),
+        "--channel_multiplier", str(CM), "--batch", "4", "--iter", "2",
+        "--d_reg_every", "2", "--g_reg_every", "2", "--sample_every", "0",
+        "--save_every", "0", "--tpu_recipe",
+        "--results_dir", str(tmp_path / "gan_recipe")])
+    assert os.path.isdir(final)
+
+
 def test_train_stylegan_cli_dp_mesh(tmp_path):
     """w2e-train-stylegan --dp 8 end-to-end on the virtual 8-device CPU
     mesh (VERDICT r3 weak #2: the GAN DP path must be CLI-gated, not only

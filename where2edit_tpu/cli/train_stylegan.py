@@ -122,6 +122,15 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel over an N-device 'data' mesh "
                         "(-1 = all devices)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join JAX's multi-host runtime first (replaces the "
+                        "reference's NCCL rendezvous); --dp -1 then spans "
+                        "every chip in the job")
+    p.add_argument("--tpu_recipe", action="store_true",
+                   help="apply the measured single-chip 1024² recipe "
+                        "(PERF.md): --bf16 --remat --d_bf16 "
+                        "--d_microbatch 4 --d_s2d_octaves 2, and "
+                        "path_batch_shrink 4 when --batch >= 8")
     p.add_argument("--ckpt", type=str, default=None,
                    help="warm-start generator from converted torch g_ema "
                         "weights (finetune) — see cli/convert_weights.py")
@@ -137,6 +146,24 @@ def main(argv=None):
 
     enable_compile_cache()
     set_random_seed(args.seed)
+
+    if args.tpu_recipe:
+        args.bf16 = args.remat = args.d_bf16 = True
+        args.d_microbatch = args.d_microbatch or 4
+        args.d_s2d_octaves = args.d_s2d_octaves or 2
+        if args.batch >= 8 and args.path_batch_shrink == 2:
+            args.path_batch_shrink = 4
+        print("[recipe] bf16+remat G, bf16+s2d(2) D, d_microbatch "
+              f"{args.d_microbatch}, path_batch_shrink "
+              f"{args.path_batch_shrink} (PERF.md)")
+
+    if args.multihost:
+        from where2edit_tpu.parallel.mesh import initialize_multihost  # noqa: PLC0415
+
+        if initialize_multihost(force=True):
+            print(f"[multihost] process {jax.process_index()}/"
+                  f"{jax.process_count()}, {len(jax.devices())} global "
+                  "devices")
 
     mesh = None
     if args.dp:
