@@ -518,7 +518,63 @@ def main():
             log(f"fp32 serving rows FAILED ({type(exc).__name__}: {exc})")
             results["fp32_bench_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # ---- adversarial (GAN) training step, shipping recipe (PERF.md) ----
+    # runs LAST (large fresh init + compiles; crash-safe via the atexit
+    # emit). W2E_BENCH_SKIP_GAN=1 skips (the CPU smoke does).
+    if os.environ.get("W2E_BENCH_SKIP_GAN") == "1":
+        log("GAN step skipped (W2E_BENCH_SKIP_GAN=1)")
+    else:
+        try:
+            bench_gan(results)
+        except Exception as exc:  # noqa: BLE001 — keep everything measured
+            log(f"GAN bench FAILED ({type(exc).__name__}: {exc})")
+            results["gan_bench_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     emit(results, e2e_per_sec)
+
+
+def bench_gan(results):
+    """One amortized GAN iteration (d+synth, g, ema + lazy r1/path shares)
+    at the measured single-chip recipe — PERF.md 'Adversarial (GAN)
+    training step'."""
+    from where2edit_tpu.train.gan_trainer import (  # noqa: PLC0415
+        GANTrainConfig,
+        GANTrainer,
+    )
+    from where2edit_tpu.utils.profiling import sync_fetch  # noqa: PLC0415
+
+    jax.clear_caches()
+    gc.collect()
+    batch = int(os.environ.get("W2E_BENCH_GAN_BATCH", "8"))
+    log(f"GAN training step at batch {batch} (tpu recipe) …")
+    cfg = GANTrainConfig(
+        size=SIZE, batch_size=batch, bf16=True, remat=True, d_bf16=True,
+        d_microbatch=min(4, batch), d_s2d_octaves=2 if SIZE >= 64 else 0,
+        path_batch_shrink=4 if batch >= 8 else 2, seed=0)
+    tr = GANTrainer(cfg)
+    real = jax.random.uniform(jax.random.PRNGKey(9),
+                              (batch, SIZE, SIZE, 3),
+                              minval=-1.0, maxval=1.0)
+
+    # warm every program once (step 0 hits both lazy cadences)
+    sync_fetch(tr.step(real, jax.random.PRNGKey(1))["g_loss"])
+    tr.global_step = 1
+    sync_fetch(tr.step(real, jax.random.PRNGKey(2))["g_loss"])
+    # then time one full cadence window: d_reg_every steps cover the r1
+    # hit once and the path hits d_reg_every/g_reg_every times — the
+    # honest amortized figure, no cost-model arithmetic
+    window = cfg.d_reg_every
+    tr.global_step = 0
+    t0 = time.time()
+    m = None
+    for s in range(window):
+        m = tr.step(real, jax.random.PRNGKey(10 + s))
+    sync_fetch(m["g_loss"])
+    amortized = (time.time() - t0) / window
+    results["gan_imgs_per_sec_per_chip"] = round(batch / amortized, 2)
+    results["gan_batch"] = batch
+    log(f"  {results['gan_imgs_per_sec_per_chip']} imgs/s "
+        f"({amortized * 1e3:.0f} ms/step amortized over {window})")
 
 
 def bench_training(results, key, gvars, mapper, clip_model,

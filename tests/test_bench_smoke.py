@@ -39,6 +39,8 @@ def test_bench_smoke_cpu_64px(tmp_path):
         # the CPU smoke skips them to stay within its budget
         W2E_BENCH_SKIP_FP32="1",
         W2E_BENCH_E2E_BIG="0",
+        W2E_BENCH_SKIP_GAN="1",  # own trainer init + 5 programs — the GAN
+        # step is gated by tests/test_gan_training.py instead
     )
     # the conftest's 8-device flag must not leak into the subprocess — the
     # bench is a single-chip program
