@@ -98,6 +98,7 @@ SLOW_TESTS = {
     "test_gallery_latent_pack",
     "test_gallery_images_dir_needs_encoder",
     "test_server_invert_without_encoder",
+    "test_edit_cli_celeb_source",
 }
 
 

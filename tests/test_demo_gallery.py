@@ -165,6 +165,23 @@ def test_server_celebs_and_invert_endpoints(tiny_session):
         server.server_close()
 
 
+def test_edit_cli_celeb_source(tmp_path, capsys):
+    """w2e-edit --celeb: one-shot gallery edit (and 'list' mode)."""
+    from where2edit_tpu.cli import edit as cli
+
+    base = ["--ckpt", "/nonexistent", "--stylegan_size", "32",
+            "--attention_layer", "4", "--cluster_layer", "4",
+            "--text", "grey hair", "--output_dir", str(tmp_path / "out")]
+    assert cli.main(base + ["--celeb", "list"]) == []
+    assert "Celeb 1" in capsys.readouterr().out
+
+    results = cli.main(base + ["--celeb", "Celeb 3"])
+    assert results
+    import os
+
+    assert os.path.isfile(os.path.join(tmp_path, "out", "original.png"))
+
+
 def test_server_invert_without_encoder(tiny_session):
     """No --e4e_ckpt → /invert refuses with a clear message."""
     from http.server import ThreadingHTTPServer

@@ -44,6 +44,10 @@ def build_argparser():
     src.add_argument("--latent", type=str, default=None,
                      help="W+ bank: torch .pt tensor or .npy array "
                           "(B, n_latent, 512)")
+    src.add_argument("--celeb", type=str, default=None,
+                     help="provided-celebs gallery entry (try_demo.py:"
+                          "61-67): name from --celebs_path/--images_dir, "
+                          "or 'Celeb N' built-in; 'list' prints names")
     p.add_argument("--text", type=str, nargs="+", required=True,
                    help="edit prompt(s); each produces one edit of the "
                         "same face")
@@ -121,6 +125,14 @@ def main(argv=None):
         session.load_latent(w)
     elif args.latent is not None:
         session.load_latent(jnp.asarray(_load_wplus_bank(args.latent)))
+    elif args.celeb is not None:
+        from where2edit_tpu.demo.app import load_gallery  # noqa: PLC0415
+
+        gallery = load_gallery(args, session)
+        if args.celeb == "list":
+            print("\n".join(gallery.names()))
+            return []
+        gallery.load(args.celeb)
     else:
         session.load_synthetic(jax.random.PRNGKey(int(args.seed or 0)),
                                truncation=args.truncation)
