@@ -160,6 +160,11 @@ def test_server_celebs_and_invert_endpoints(tiny_session):
         # bad payloads are clean 400s
         status, body = post("/invert", {"image": "!!!notbase64"})
         assert status == 400
+
+        # unknown gallery name → clean 400 JSON, not a dropped connection
+        status, body = post("/edit", {"celeb": "No Such Person",
+                                      "prompt": "grey hair"})
+        assert status == 400 and "unknown gallery entry" in body["error"]
     finally:
         server.shutdown()
         server.server_close()
@@ -171,10 +176,14 @@ def test_edit_cli_celeb_source(tmp_path, capsys):
 
     base = ["--ckpt", "/nonexistent", "--stylegan_size", "32",
             "--attention_layer", "4", "--cluster_layer", "4",
-            "--text", "grey hair", "--output_dir", str(tmp_path / "out")]
+            "--output_dir", str(tmp_path / "out")]
+    # listing names needs no dummy --text prompt (ADVICE r4)
     assert cli.main(base + ["--celeb", "list"]) == []
     assert "Celeb 1" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="--text is required"):
+        cli.main(base + ["--celeb", "Celeb 3"])
 
+    base += ["--text", "grey hair"]
     results = cli.main(base + ["--celeb", "Celeb 3"])
     assert results
     import os

@@ -273,6 +273,26 @@ def test_gan_remat_matches_nonremat_g_loss():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
 
 
+def test_gan_d_remat_matches_nonremat_d_loss():
+    """--d_remat (checkpointed D ResBlocks) must trace — the s2d_in bool is
+    a static argument under fnn.remat — and must not change the numbers,
+    including combined with the d_s2d/d_bf16 ceiling-lifting recipe."""
+    t1 = GANTrainer(small_cfg(d_remat=False))
+    t2 = GANTrainer(small_cfg(d_remat=True))
+    real = _real_batch()
+    fake = np.asarray(_real_batch()) * 0.5
+    _, _, l1 = t1._d_step(t1.d_params, t1.d_opt_state, jnp.asarray(real),
+                          jnp.asarray(fake))
+    _, _, l2 = t2._d_step(t2.d_params, t2.d_opt_state, jnp.asarray(real),
+                          jnp.asarray(fake))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    # the advertised recipe combination traces and yields finite numbers
+    t3 = GANTrainer(small_cfg(d_remat=True, d_s2d_octaves=1, d_bf16=True))
+    _, _, l3 = t3._d_step(t3.d_params, t3.d_opt_state, jnp.asarray(real),
+                          jnp.asarray(fake))
+    assert np.isfinite(float(l3))
+
+
 def test_gan_dp_step_equals_single_device():
     """The sharded step IS the single-device global-batch step (GSPMD
     semantics) — unlike DDP, even the minibatch-stddev layer sees global

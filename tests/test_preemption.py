@@ -39,6 +39,34 @@ def test_save_checkpoint_atomic_replace(tmp_path):
     assert residue == []
 
 
+def test_save_checkpoint_crash_window_recovery(tmp_path):
+    """A writer killed between save_checkpoint's two renames leaves the
+    prior complete checkpoint stranded at {path}.old-*; load_checkpoint
+    restores it. Stale .tmp-* residue from any pid is swept on next save."""
+    import shutil
+
+    from where2edit_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {"a": np.ones((2,), np.float32)}, opts={"v": 1})
+    # simulate the crash window: path was renamed to .old-<otherpid>, the
+    # new tmp never landed
+    os.rename(path, f"{path}.old-99999")
+    with open(str(tmp_path / "ck.tmp-99999"), "w") as f:
+        f.write("half-written residue")
+    tree, opts = load_checkpoint(path)
+    assert opts["v"] == 1
+    np.testing.assert_array_equal(np.asarray(tree["a"]), np.ones((2,)))
+    # a subsequent save sweeps all residue (different-pid tmp included)
+    shutil.rmtree(f"{path}.old-99999", ignore_errors=True)
+    save_checkpoint(path, {"a": np.zeros((2,), np.float32)}, opts={"v": 2})
+    residue = [d for d in os.listdir(tmp_path)
+               if ".tmp-" in d or ".old-" in d]
+    assert residue == []
+    _, opts = load_checkpoint(path)
+    assert opts["v"] == 2
+
+
 def test_gan_cli_sigterm_resume_bit_exact(tmp_path, monkeypatch):
     """kill -TERM mid-GAN-training → checkpoint at the step boundary →
     --resume finishes identical to an uninterrupted run."""

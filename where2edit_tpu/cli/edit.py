@@ -48,9 +48,9 @@ def build_argparser():
                      help="provided-celebs gallery entry (try_demo.py:"
                           "61-67): name from --celebs_path/--images_dir, "
                           "or 'Celeb N' built-in; 'list' prints names")
-    p.add_argument("--text", type=str, nargs="+", required=True,
+    p.add_argument("--text", type=str, nargs="+", default=None,
                    help="edit prompt(s); each produces one edit of the "
-                        "same face")
+                        "same face (required except for '--celeb list')")
     p.add_argument("--region", type=str, default=None,
                    choices=sorted(REGION_PROMPTS),
                    help="fixed attention-region prompt "
@@ -93,6 +93,8 @@ def _load_wplus_bank(path: str):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.text is None and args.celeb != "list":
+        raise SystemExit("--text is required (except with '--celeb list')")
     if args.image is not None and not args.e4e_ckpt:
         raise SystemExit("--image requires --e4e_ckpt for inversion")
     from where2edit_tpu.utils.cache import enable_compile_cache  # noqa: PLC0415

@@ -49,7 +49,13 @@ class CelebGallery:
     def _load_latent_pack(self, path: str) -> None:
         import torch  # noqa: PLC0415
 
-        pack = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            # latent packs are pure tensors/dicts — the safe loader suffices
+            pack = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # legacy pickle pack: full unpickling can execute code, so this
+            # path trusts the operator-supplied file (documented fallback)
+            pack = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(pack, dict):
             items = pack.items()
         else:  # single (N, L, 512) tensor

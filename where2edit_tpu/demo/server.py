@@ -118,7 +118,13 @@ def make_handler(session, closs, lock, gallery=None, psp=None):
             with lock:
                 if req.get("celeb") and gallery is not None:
                     # provided-celebs real mode (try_demo.py:63-67)
-                    gallery.load(str(req["celeb"]))
+                    try:
+                        gallery.load(str(req["celeb"]))
+                    except (KeyError, RuntimeError) as e:
+                        # unknown name, or an images_dir entry with no e4e
+                        # encoder loaded — clean 400 like /invert gives
+                        self._json({"error": str(e)}, 400)
+                        return
                 elif req.get("source") == "session":
                     # reuse the currently loaded face (e.g. after /invert)
                     if session.latent is None:

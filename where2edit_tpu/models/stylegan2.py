@@ -281,6 +281,19 @@ class Generator(fnn.Module):
         if self.spatial_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
 
+            # TP x SP on one mesh silently MISCOMPILES (XLA SPMD
+            # wrong-values fallback, b/433785288 — parallel/tp.py
+            # docstring). shard_generator_params marks its trees with a
+            # tp_meta collection; presence is structural, so this raises
+            # inside jit traces too rather than corrupting outputs.
+            if self.has_variable("tp_meta", "tp"):
+                raise ValueError(
+                    "TP-sharded generator params (shard_generator_params) "
+                    "combined with Generator(spatial_mesh=...) is "
+                    "unsupported: XLA's SPMD partitioner produces wrong "
+                    "values on the channel+spatial resharding "
+                    "(b/433785288). Pick ONE of TP or SP per program — "
+                    "see where2edit_tpu/parallel/tp.py.")
             n_shards = self.spatial_mesh.shape[self.spatial_axis]
             sp_sharding = NamedSharding(
                 self.spatial_mesh,
@@ -497,15 +510,19 @@ class Discriminator(fnn.Module):
         out = ConvLayer(3, channels[self.size], 1,
                         name="conv_in")(x, s2d_in=s2d_n > 0)
         in_ch = channels[self.size]
-        block_cls = fnn.remat(ResBlock) if self.remat else ResBlock
+        # s2d_in drives Python `if` control flow inside ResBlock/ConvLayer,
+        # so under remat it must be a static argument (argnum 2 = after
+        # self and x) and passed positionally, or tracing raises
+        # TracerBoolConversionError.
+        block_cls = (fnn.remat(ResBlock, static_argnums=(2,))
+                     if self.remat else ResBlock)
         for idx, i in enumerate(range(log_size, 2, -1)):
             out_ch = channels[2 ** (i - 1)]
             use_s2d = idx < s2d_n
             if use_s2d and idx > 0:  # first octave arrives s2d from conv_in
                 out = space_to_depth(out)
             out = block_cls(in_ch, out_ch, self.blur_kernel,
-                            name=f"block_{log_size - i}")(out,
-                                                          s2d_in=use_s2d)
+                            name=f"block_{log_size - i}")(out, use_s2d)
             in_ch = out_ch
 
         b, h, w, c = out.shape

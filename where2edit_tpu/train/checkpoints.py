@@ -25,17 +25,34 @@ def save_checkpoint(path: str, tree: Any, opts: Optional[dict] = None) -> None:
 
     Atomic: the tree is staged into a sibling temp directory and renamed
     into place, so a writer killed mid-save (preemption, SIGTERM) never
-    leaves a half-written checkpoint at ``path`` — a directory there is
-    always complete and loadable (the CLI preemption snapshots rely on
-    this; see tests/test_preemption.py).
+    leaves a half-written checkpoint at ``path`` — either the new or the
+    previous checkpoint is always complete and loadable (the CLI
+    preemption snapshots rely on this; see tests/test_preemption.py).
+    Caveat on overwrite: between the two renames there is a window where
+    the prior complete checkpoint sits at ``{path}.old-*`` instead of
+    ``path``; ``load_checkpoint`` recovers it automatically.
     """
+    import glob  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    def _rm(p):
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    # stale residue from any earlier (possibly different-pid) crashed save
+    for leftover in glob.glob(f"{path}.tmp-*"):
+        _rm(leftover)
+    if os.path.exists(path):  # keep .old-* for recovery only while missing
+        for leftover in glob.glob(f"{path}.old-*"):
+            _rm(leftover)
     tmp = f"{path}.tmp-{os.getpid()}"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
     os.makedirs(tmp)
     try:
         import orbax.checkpoint as ocp  # noqa: PLC0415
@@ -63,7 +80,19 @@ def save_checkpoint(path: str, tree: Any, opts: Optional[dict] = None) -> None:
 
 
 def load_checkpoint(path: str, target: Any = None):
-    """Load a pytree saved by save_checkpoint. Returns (tree, opts|None)."""
+    """Load a pytree saved by save_checkpoint. Returns (tree, opts|None).
+
+    If ``path`` is missing but a ``{path}.old-*`` sibling exists (a writer
+    died between save_checkpoint's two renames), the stranded prior
+    checkpoint is restored to ``path`` first.
+    """
+    import glob  # noqa: PLC0415
+
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        stranded = sorted(glob.glob(f"{path}.old-*"))
+        if stranded:
+            os.rename(stranded[0], path)
     opts = None
     opts_path = os.path.join(path, "opts.json")
     if os.path.isfile(opts_path):
