@@ -15,6 +15,7 @@ import hashlib
 import html
 import os
 import re
+import unicodedata
 from functools import lru_cache
 
 import numpy as np
@@ -22,12 +23,28 @@ import numpy as np
 CONTEXT_LENGTH = 77
 VOCAB_SIZE = 49408
 
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False else
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE,
-)
+# openai's token pattern uses unicode \p{L}/\p{N} classes (the `regex`
+# module); the stdlib-`re` ASCII approximation is only the fallback when
+# `regex` is unavailable. English prompts split identically either way;
+# accented/CJK text needs the unicode classes for id parity
+# (tests/test_clip_tokenizer_golden.py).
+try:
+    import regex as _regex
+
+    _PAT = _regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+        r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _regex.IGNORECASE,
+    )
+    _UNICODE_PAT = True
+except ImportError:  # pragma: no cover - regex is in the baked image
+    _regex = re
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+        re.IGNORECASE,
+    )
+    _UNICODE_PAT = False
 
 
 @lru_cache()
@@ -55,6 +72,12 @@ def get_pairs(word):
 
 
 def _clean(text: str) -> str:
+    """openai basic_clean + whitespace_clean (clip/simple_tokenizer.py).
+
+    ftfy.fix_text (absent here) is mojibake repair + NFC normalization —
+    identity on well-formed text; the NFC step is reproduced so composed/
+    decomposed accent spellings tokenize identically."""
+    text = unicodedata.normalize("NFC", text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip().lower()
@@ -139,10 +162,14 @@ class SimpleTokenizer:
         return [h % (VOCAB_SIZE - 2)]
 
     def encode(self, text: str) -> list[int]:
-        if self._native is not None:
-            return self._native.encode(_clean(text))
+        cleaned = _clean(text)
+        # the C++ fast path splits with the ASCII pattern (native/
+        # w2e_native.cpp:343); non-ASCII text takes the Python path whose
+        # unicode \p{L}/\p{N} classes match openai exactly
+        if self._native is not None and cleaned.isascii():
+            return self._native.encode(cleaned)
         ids: list[int] = []
-        for token in re.findall(_PAT, _clean(text)):
+        for token in _regex.findall(_PAT, cleaned):
             if not self.has_vocab:
                 ids.extend(self._hash_ids(token))
                 continue
