@@ -31,6 +31,7 @@ program until an XLA release fixes b/433785288.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -43,7 +44,16 @@ def shard_generator_params(mesh: Mesh, variables, axis: str = "model",
     everything else (style MLP, biases, noise buffers, small to_rgb heads)
     is replicated. Small tensors sharded across chips would pay collective
     latency for no relief — the 3-channel rgb kernels stay replicated.
+
+    The returned tree carries a ``tp_meta`` marker collection:
+    ``Generator.__call__`` raises if such a tree is applied together with
+    ``spatial_mesh`` on a mesh that also carries the spatial axis — that
+    combination silently miscompiles (module docstring, b/433785288). The
+    presence check is structural, so the guard fires inside jit traces too.
     """
+    if not isinstance(variables, dict) or "params" not in variables:
+        raise ValueError("shard_generator_params expects the generator's "
+                         "variable dict ({'params': ..., ...})")
     n = mesh.shape[axis]
 
     def place(x):
@@ -59,4 +69,7 @@ def shard_generator_params(mesh: Mesh, variables, axis: str = "model",
                 x, NamedSharding(mesh, P(None, None, None, axis)))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree.map(place, variables)
+    out = dict(jax.tree.map(place, variables))
+    out["tp_meta"] = {"tp": jax.device_put(jnp.ones((), jnp.int32),
+                                           NamedSharding(mesh, P()))}
+    return out
