@@ -271,3 +271,28 @@ def test_nan_guard_rolls_back_and_aborts(gen_and_vars):
     with pytest.raises(FloatingPointError):
         trainer.run(text, log_every=1)
     assert calls["n"] == 3  # three consecutive rejections then abort
+
+
+def test_nan_guard_checks_only_at_log_points(gen_and_vars):
+    """The guard syncs only every log_every steps (r5 de-sync): between
+    checks the host dispatches ahead with no device round-trip; a NaN is
+    caught at the next log point after rolling back up to log_every steps."""
+    gen, gvars = gen_and_vars
+    trainer, text = _build_trainer(gen, gvars, batch=2, steps=5)
+
+    calls = {"n": 0}
+    orig = trainer.step_fn
+
+    def poisoned(params, opt_state, step_idx, key, att):
+        p, o, aux, img, amap = orig(params, opt_state, step_idx, key, att)
+        calls["n"] += 1
+        aux = dict(aux)
+        aux["loss"] = jnp.asarray(float("nan"))
+        return p, o, aux, img, amap
+
+    trainer.step_fn = poisoned
+    with pytest.raises(FloatingPointError):
+        trainer.run(text, log_every=2)
+    # checks fire at steps 0, 2 and the final step 4 — three bad checks,
+    # five dispatched steps (1 and 3 ran unchecked)
+    assert calls["n"] == 5
