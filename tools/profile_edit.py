@@ -107,7 +107,8 @@ def main():
     p.add_argument("--att_layer", type=int, default=13,
                    help="attention/cluster layer (4 pairs with --size 64)")
     p.add_argument("--what",
-                   choices=["edit", "synth", "mapper", "invert", "train"],
+                   choices=["edit", "synth", "mapper", "invert", "train",
+                            "gan"],
                    default="edit")
     p.add_argument("--remat", action="store_true",
                    help="train mode: rematerialize the grad-pass synthesis")
@@ -202,6 +203,83 @@ def main():
         with jax.profiler.trace(args.out):
             for _ in range(args.reps):
                 sync_fetch(fn())
+        parse_trace(args.out)
+        return
+
+    if args.what == "gan":
+        # the adversarial training iteration at the shipping recipe
+        # (bench.py bench_gan; PERF.md "Adversarial (GAN) training step"):
+        # per-program wall times for synth_fake / d_step / d_r1 / g_step /
+        # g_path / ema, the amortized cadence figure, and a device trace
+        # over one full cadence window (VERDICT r4 Next #8).
+        from where2edit_tpu.train.gan_trainer import (  # noqa: PLC0415
+            GANTrainConfig,
+            GANTrainer,
+        )
+        from where2edit_tpu.utils.profiling import sync_fetch  # noqa: PLC0415
+
+        cfg = GANTrainConfig(
+            size=args.size, batch_size=args.batch, bf16=True, remat=True,
+            d_bf16=True, d_microbatch=min(4, args.batch),
+            d_s2d_octaves=2 if args.size >= 64 else 0,
+            path_batch_shrink=4 if args.batch >= 8 else 2, seed=0)
+        tr = GANTrainer(cfg)
+        real = jax.random.uniform(jax.random.PRNGKey(9),
+                                  (args.batch, args.size, args.size, 3),
+                                  minval=-1.0, maxval=1.0)
+        # warm both cadences (step 0 hits r1 + path)
+        sync_fetch(tr.step(real, jax.random.PRNGKey(1))["g_loss"])
+        sync_fetch(tr.step(real, jax.random.PRNGKey(2))["g_loss"])
+
+        def t(label, fn):
+            r = fn()
+            jax.block_until_ready(jax.tree.leaves(r)[0])
+            t0 = time.time()
+            r = fn()
+            jax.block_until_ready(jax.tree.leaves(r)[0])
+            dt = (time.time() - t0) * 1e3
+            print(f"  {label:12s} {dt:8.2f} ms")
+            return r, dt
+
+        kd = jax.random.PRNGKey(3)
+
+        def snap(tree):  # the step programs DONATE their first two args —
+            return jax.tree.map(jnp.copy, tree)  # feed copies, keep tr live
+
+        print(f"[gan] per-program wall times, batch {args.batch}, "
+              f"size {args.size} (tpu recipe):")
+        fake, t_sf = t("synth_fake", lambda: tr._synth_fake(tr.g_params, kd))
+        _, t_d = t("d_step", lambda: tr._d_step(
+            snap(tr.d_params), snap(tr.d_opt_state), real, fake)[2])
+        _, t_r1 = t("d_r1_step", lambda: tr._d_r1_step(
+            snap(tr.d_params), snap(tr.d_opt_state), real)[2])
+        _, t_g = t("g_step", lambda: tr._g_step(
+            snap(tr.g_params), snap(tr.g_opt_state), tr.d_params, kd)[2])
+        _, t_p = t("g_path_step", lambda: tr._g_path_step(
+            snap(tr.g_params), snap(tr.g_opt_state), tr.pl_mean, kd)[2])
+        _, t_e = t("ema_step", lambda: tr._ema_step(
+            snap(tr.g_ema_params), tr.g_params, tr.ema_beta))
+        window = cfg.d_reg_every
+        per_iter = (t_sf + t_d + t_g + t_e + t_r1 / window
+                    + t_p / max(cfg.g_reg_every, 1))
+        print(f"  sum-of-parts amortized: {per_iter:.1f} ms/iter = "
+              f"{args.batch * 1e3 / per_iter:.2f} imgs/s")
+
+        # measured cadence window for the honest figure
+        tr.global_step = 0
+        t0 = time.time()
+        m = None
+        for s in range(window):
+            m = tr.step(real, jax.random.PRNGKey(10 + s))
+        sync_fetch(m["g_loss"])
+        amort = (time.time() - t0) / window
+        print(f"  measured window: {amort * 1e3:.1f} ms/iter = "
+              f"{args.batch / amort:.2f} imgs/s")
+
+        with jax.profiler.trace(args.out):
+            for s in range(window):
+                m = tr.step(real, jax.random.PRNGKey(20 + s))
+            sync_fetch(m["g_loss"])
         parse_trace(args.out)
         return
 

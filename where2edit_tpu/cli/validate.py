@@ -362,7 +362,13 @@ def main(argv=None):
             report[name] = _skip(f"not found: {path}")
             continue
         try:
-            report[name] = fn(args)
+            # parity gates must not inherit the backend's default matmul
+            # precision: on TPU that is one bf16 MXU pass, which degrades
+            # both the fp32 forward AND the conv-based SSIM metric itself
+            # (tools/ssim_ladder_1024.py: fp32 synthesis reads 0.87 with a
+            # bf16-precision SSIM vs 0.992 measured correctly)
+            with jax.default_matmul_precision("float32"):
+                report[name] = fn(args)
         except Exception as e:  # noqa: BLE001 — report, don't crash the sweep
             report[name] = _result("error", error=f"{type(e).__name__}: {e}",
                                    trace=traceback.format_exc(limit=5))

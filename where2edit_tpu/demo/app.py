@@ -42,8 +42,18 @@ def load_session(args):
     # serving policy (PERF.md): bf16 synthesis + bf16 rgb chain + s2d final
     # octave on TPU; fp32 on CPU (s2d's fused 6x6 path is TPU-gated and the
     # visual-parity tests pin fp32 numerics there). --fp32 forces full fp32.
+    # On TPU the MXU matmul precision dominates the dtype policy
+    # (tools/ssim_ladder_1024.py): --fp32 therefore also raises the default
+    # matmul precision so the session is the measured 0.99-SSIM config
+    # (fp32/high = SSIM 1.000 at 1024²), overridable via
+    # --matmul_precision.
     serve_bf16 = (jax.default_backend() == "tpu"
                   and not getattr(args, "fp32", False))
+    prec = getattr(args, "matmul_precision", None)
+    if prec is None and getattr(args, "fp32", False):
+        prec = "high"
+    if prec and prec != "default":
+        jax.config.update("jax_default_matmul_precision", prec)
     gen, gvars, _ = build_generator(
         args.stylegan_size, args.ckpt,
         dtype=jnp.bfloat16 if serve_bf16 else jnp.float32,
@@ -124,7 +134,13 @@ def build_argparser():
                    help="directory of face images for the gallery "
                         "(e4e-inverted on selection; needs --e4e_ckpt)")
     p.add_argument("--fp32", action="store_true",
-                   help="disable the bf16 serving policy (PERF.md)")
+                   help="disable the bf16 serving policy: fp32 tensors AND "
+                        "'high' (3-pass bf16) matmul precision — the "
+                        "measured SSIM>=0.99 config at 1024² (PERF.md)")
+    p.add_argument("--matmul_precision", type=str, default=None,
+                   choices=["default", "high", "highest"],
+                   help="override the TPU matmul precision (default: "
+                        "'high' with --fp32, backend default otherwise)")
     return p
 
 
