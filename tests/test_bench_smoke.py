@@ -75,4 +75,7 @@ def test_bench_smoke_cpu_64px(tmp_path):
     # (fallback ladder) or recorded an honest error key — never silence
     assert any(k.startswith("train_samples_per_sec_per_chip_batch")
                for k in cfgs), sorted(cfgs)
-    assert payload["value"] == cfgs["e2e_edits_per_sec_per_chip"]
+    # headline = the SSIM-compliant fp32 row when measured (the real-chip
+    # bench), else the bf16 fallback (this smoke skips fp32)
+    assert payload["value"] == cfgs.get("e2e_edits_per_sec_per_chip_fp32",
+                                        cfgs["e2e_edits_per_sec_per_chip"])
