@@ -549,12 +549,19 @@ def bench_gan(results):
 
     jax.clear_caches()
     gc.collect()
-    batch = int(os.environ.get("W2E_BENCH_GAN_BATCH", "8"))
+    # r5 recipe: b16 with d_microbatch 8 + g_microbatch 8 measured 14.96
+    # imgs/s vs 10.17 at the r4 b8/d4 recipe (PERF.md "GAN-step roofline
+    # closure"): the bf16+s2d D weight-grads now clear the compile-helper
+    # ceiling at chunk 8, and D per-image cost drops 45.7 -> 27 ms
+    batch = int(os.environ.get("W2E_BENCH_GAN_BATCH", "16"))
     log(f"GAN training step at batch {batch} (tpu recipe) …")
     cfg = GANTrainConfig(
         size=SIZE, batch_size=batch, bf16=True, remat=True, d_bf16=True,
-        d_microbatch=min(4, batch), d_s2d_octaves=2 if SIZE >= 64 else 0,
-        path_batch_shrink=4 if batch >= 8 else 2, seed=0)
+        d_microbatch=min(8, batch), d_s2d_octaves=2 if SIZE >= 64 else 0,
+        g_microbatch=8 if batch >= 16 else 0,
+        path_batch_shrink=(batch // 2 if batch >= 16
+                           else 4 if batch >= 8 else 2),
+        seed=0)
     tr = GANTrainer(cfg)
     real = jax.random.uniform(jax.random.PRNGKey(9),
                               (batch, SIZE, SIZE, 3),

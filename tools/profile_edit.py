@@ -118,6 +118,9 @@ def main():
     p.add_argument("--fp32_head", type=int, default=0)
     p.add_argument("--rgb_bf16", action="store_true")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--d_microbatch", type=int, default=0,
+                   help="gan mode: override the D scan chunk (default "
+                        "min(4, batch) — the compile-helper ceiling)")
     p.add_argument("--out", type=str, default="/tmp/w2e_profile")
     args = p.parse_args()
 
@@ -220,9 +223,15 @@ def main():
 
         cfg = GANTrainConfig(
             size=args.size, batch_size=args.batch, bf16=True, remat=True,
-            d_bf16=True, d_microbatch=min(4, args.batch),
+            d_bf16=True,
+            d_microbatch=args.d_microbatch or min(4, args.batch),
             d_s2d_octaves=2 if args.size >= 64 else 0,
-            path_batch_shrink=4 if args.batch >= 8 else 2, seed=0)
+            # b16+ needs the g-side scan chunks too (PERF.md r4b); the
+            # path-reg batch stays pinned at 2 (larger path programs crash
+            # the compile helper — measured at b32)
+            g_microbatch=8 if args.batch >= 16 else 0,
+            path_batch_shrink=(args.batch // 2 if args.batch >= 16
+                               else 4 if args.batch >= 8 else 2), seed=0)
         tr = GANTrainer(cfg)
         real = jax.random.uniform(jax.random.PRNGKey(9),
                                   (args.batch, args.size, args.size, 3),

@@ -148,14 +148,23 @@ def main(argv=None):
     set_random_seed(args.seed)
 
     if args.tpu_recipe:
+        # r5 measured recipe (PERF.md "GAN-step roofline closure"):
+        # d_microbatch 8 compiles now under bf16+s2d and halves the D
+        # per-image cost; g_microbatch 8 + path_shrink 8 unlock b16+
         args.bf16 = args.remat = args.d_bf16 = True
-        args.d_microbatch = args.d_microbatch or 4
+        args.d_microbatch = args.d_microbatch or min(8, args.batch)
         args.d_s2d_octaves = args.d_s2d_octaves or 2
-        if args.batch >= 8 and args.path_batch_shrink == 2:
+        if args.batch >= 16:
+            args.g_microbatch = args.g_microbatch or 8
+            if args.path_batch_shrink == 2:
+                # pin the path-reg batch to 2: any larger path program
+                # crashes the compile helper (measured at b32/shrink 8)
+                args.path_batch_shrink = args.batch // 2
+        elif args.batch >= 8 and args.path_batch_shrink == 2:
             args.path_batch_shrink = 4
         print("[recipe] bf16+remat G, bf16+s2d(2) D, d_microbatch "
-              f"{args.d_microbatch}, path_batch_shrink "
-              f"{args.path_batch_shrink} (PERF.md)")
+              f"{args.d_microbatch}, g_microbatch {args.g_microbatch}, "
+              f"path_batch_shrink {args.path_batch_shrink} (PERF.md)")
 
     if args.multihost:
         from where2edit_tpu.parallel.mesh import initialize_multihost  # noqa: PLC0415
