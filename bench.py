@@ -491,14 +491,17 @@ def main():
 
         fp32_kw = dict(g=gen32, cap_feats=feats32,
                        cap_styles=out32.style_vector)
-        # ladder from the full pipeline batch: lazy stages + per-stage
-        # unload fit the b32 fp32 capture (r5; the r4 default started at
-        # BATCH//2). Headline row (emit()) — fp32/DEFAULT measures SSIM
-        # 0.992 >= 0.99 on-chip at 1024² (tools/ssim_ladder_1024.py).
-        fp32_batch = int(os.environ.get("W2E_BENCH_FP32_BATCH", str(BATCH)))
+        # Headline row (emit()) — fp32/DEFAULT measures SSIM 0.992 >= 0.99
+        # on-chip at 1024² (tools/ssim_ladder_1024.py). The ladder starts
+        # at BATCH//2: the b32 fp32 capture does NOT fit (measured r5
+        # RESOURCE_EXHAUSTED), and an OOM here wedges the in-process
+        # device arena and poisons every config after it — never probe a
+        # known-OOM batch in the standing bench (override via
+        # W2E_BENCH_FP32_BATCH to re-probe after an XLA upgrade).
+        fp32_batch = int(os.environ.get("W2E_BENCH_FP32_BATCH",
+                                        str(max(BATCH // 2, 1))))
         try:
-            for b_try in sorted({fp32_batch, fp32_batch // 2,
-                                 fp32_batch // 4} - {0},
+            for b_try in sorted({fp32_batch, fp32_batch // 2} - {0},
                                 reverse=True):
                 res32 = measure_e2e(b_try, label=" (fp32 policy)", **fp32_kw)
                 if res32 is not None:
@@ -722,13 +725,18 @@ def emit(results, e2e_per_sec):
     # 2.2x the cost, bf16 fast mode 0.980). BASELINE pairs throughput
     # with SSIM>=0.99 — one target, not two. The bf16 rows stay in
     # configs as the labeled fast mode.
-    value = results.get("e2e_edits_per_sec_per_chip_fp32",
-                        results.get("e2e_edits_per_sec_per_chip", 0.0))
-    results.setdefault("headline_policy", {
-        "dtype": "fp32", "matmul_precision": "default",
-        "s2d_octaves": 1,
-        "ssim_1024_vs_torch_on_chip": 0.99207,
-        "fast_mode": "bf16 (e2e_edits_per_sec_per_chip; ssim 0.980)"})
+    if "e2e_edits_per_sec_per_chip_fp32" in results:
+        value = results["e2e_edits_per_sec_per_chip_fp32"]
+        results.setdefault("headline_policy", {
+            "dtype": "fp32", "matmul_precision": "default",
+            "s2d_octaves": 1,
+            "ssim_1024_vs_torch_on_chip": 0.99207,
+            "fast_mode": "bf16 (e2e_edits_per_sec_per_chip; ssim 0.980)"})
+    else:  # fp32 rows failed/skipped — label the fallback honestly
+        value = results.get("e2e_edits_per_sec_per_chip", 0.0)
+        results.setdefault("headline_policy", {
+            "dtype": "bf16 FALLBACK (fp32 rows absent this run)",
+            "ssim_1024_vs_torch_on_chip": 0.97951})
     print(json.dumps({
         "metric": "1024px_e2e_edits_per_sec_per_chip",
         "value": value,
