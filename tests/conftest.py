@@ -67,6 +67,7 @@ SLOW_TESTS = {
     "test_gan_remat_matches_nonremat_g_loss",
     "test_gan_d_remat_matches_nonremat_d_loss",
     "test_server_celebs_and_invert_endpoints",
+    "test_matmul_precision_flag",
     "test_gan_dp_step_equals_single_device",
     "test_train_stylegan_cli_end_to_end",
     "test_train_stylegan_cli_dp_mesh",

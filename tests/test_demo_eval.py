@@ -305,3 +305,21 @@ def test_edit_cli_batch_prompts(tmp_path):
     assert len(results) == 3
     assert all(os.path.exists(r["edit"]) for r in results)
     assert all(os.path.exists(r["attention_map"]) for r in results)
+
+
+def test_matmul_precision_flag(monkeypatch):
+    """--fp32 raises the default matmul precision to 'high' (the measured
+    SSIM-1.000 config at 1024², PERF.md r5); --matmul_precision overrides;
+    plain bf16 serving leaves the backend default untouched."""
+    import jax
+
+    from where2edit_tpu.demo.app import load_session
+
+    before = jax.config.jax_default_matmul_precision
+    try:
+        load_session(_tiny_args(fp32=True))
+        assert jax.config.jax_default_matmul_precision == "high"
+        load_session(_tiny_args(fp32=True, matmul_precision="highest"))
+        assert jax.config.jax_default_matmul_precision == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)

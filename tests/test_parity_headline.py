@@ -36,14 +36,17 @@ def test_ssim_vs_reference_256():
     assert score >= 0.99, score
 
     # Full bf16 serving policy (synthesis + rgb chain in bf16, the bench
-    # config): random-init weights are the adversarial case (unit-variance
-    # activations at every scale); with real FFHQ statistics the gap
-    # narrows. The per-octave fp32-pinning bisect (tools/bf16_sweep.py,
-    # PERF.md) showed the error is DISTRIBUTED — pinning 4 of 6 octaves
-    # fp32 still only reaches 0.989 — so 0.97 is the honest random-weight
-    # gate; cli/validate.py reports ssim_bf16 on real checkpoints. The
-    # reference's own reduced-precision mode is fp16 --amp
-    # (run_attention.py:1068), so bf16 serving is parity-consistent.
+    # fast mode): random-init weights are the adversarial case
+    # (unit-variance activations at every scale); with trained statistics
+    # the gap narrows — MEASURED in r5 (tools/bf16_trained_ssim.py,
+    # PERF.md): bf16 reads 0.996 on a briefly-trained EMA generator vs
+    # 0.980 at random init. The per-octave fp32-pinning bisect
+    # (tools/bf16_sweep.py, PERF.md) showed the random-weight error is
+    # DISTRIBUTED — pinning 4 of 6 octaves fp32 still only reaches 0.989 —
+    # so 0.97 is the honest random-weight gate; cli/validate.py reports
+    # ssim_bf16 on real checkpoints. The reference's own reduced-precision
+    # mode is fp16 --amp (run_attention.py:1068), so bf16 serving is
+    # parity-consistent.
     jgen16 = Generator(size=256, dtype=jnp.bfloat16,
                        rgb_dtype=jnp.bfloat16)
     out16 = jgen16.apply(variables, [jnp.asarray(z.numpy())],

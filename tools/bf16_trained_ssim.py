@@ -20,23 +20,24 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-RESULTS = "/tmp/w2e_bf16_trained"
+RESULTS = "/tmp/w2e_bf16_trained_{size}"
 
 
 def ensure_trained(size: int, iters: int, batch: int) -> str:
     import glob
 
-    ckpts = sorted(glob.glob(os.path.join(RESULTS, "ckpt_*")))
+    results = RESULTS.format(size=size)
+    ckpts = sorted(glob.glob(os.path.join(results, "ckpt_*")))
     if ckpts:
         return ckpts[-1]
     from where2edit_tpu.cli.train_stylegan import main as train_main
 
     train_main(["--size", str(size), "--synthetic", "2000",
                 "--batch", str(batch), "--iter", str(iters),
-                "--tpu_recipe", "--results_dir", RESULTS,
+                "--tpu_recipe", "--results_dir", results,
                 "--save_every", str(iters), "--sample_every", str(10 ** 9),
                 "--seed", "0"])
-    ckpts = sorted(glob.glob(os.path.join(RESULTS, "ckpt_*")))
+    ckpts = sorted(glob.glob(os.path.join(results, "ckpt_*")))
     assert ckpts, "training produced no checkpoint"
     return ckpts[-1]
 
