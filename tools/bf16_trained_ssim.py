@@ -32,9 +32,15 @@ def ensure_trained(size: int, iters: int, batch: int) -> str:
         return ckpts[-1]
     from where2edit_tpu.cli.train_stylegan import main as train_main
 
-    train_main(["--size", str(size), "--synthetic", "2000",
+    # --workers: at 1024² the host-side data path costs ~11 s/step vs the
+    # 1.07 s device step (measured r5) — the async loader hides most of
+    # it. Bank of 512: a 2000-image synthetic bank at 1024² is 24 GB of
+    # host RNG (minutes to materialize) for no statistical benefit here.
+    n_bank = str(min(2000, max(512, 2 * iters * batch // 10)))
+    train_main(["--size", str(size), "--synthetic", n_bank,
                 "--batch", str(batch), "--iter", str(iters),
-                "--tpu_recipe", "--results_dir", results,
+                "--tpu_recipe", "--workers", "2", "--prefetch", "3",
+                "--results_dir", results,
                 "--save_every", str(iters), "--sample_every", str(10 ** 9),
                 "--seed", "0"])
     ckpts = sorted(glob.glob(os.path.join(results, "ckpt_*")))
